@@ -1,0 +1,301 @@
+"""Pure-functional instance generation.
+
+Replaces the reference's mutable generation pipeline
+(``generate_instances``, dummy_env_rectangular_pin.py:1006-1035:
+components -> nets -> pins -> pin/net allocation -> pin/component allocation
+-> pin cell placement) with fixed-shape JAX sampling under a single PRNG key,
+so a fresh instance can be drawn inside a jitted, vmapped auto-reset step.
+
+Distributional parity notes (exact numpy bit-streams are not reproduced —
+the JAX build has its own seed story; see SURVEY.md §7 "Hard parts" #1):
+  * component counts/sizes: uniform ints, same bounds (generate_components:983)
+  * net count: uniform, capped at total_area/2 (sample_num_nets:1043)
+  * total pins: uniform in [min_ppn*nets, max_ppn*nets], capped at total area
+    (sample_total_num_pins:1050)
+  * pins->nets: min_ppn guaranteed per net, remainder via truncated
+    multinomial with softmax(N(1/nets, 1/(net_distribution+1))) probabilities
+    (allocate_pins_to_nets:1067, sample_truncated_multinomial:258)
+  * pins->components: per net, components sorted by free area, count grown
+    until capacity suffices, multinomial proportional to free area with
+    capacity caps (allocate_pins_to_components_for_net:1171)
+  * pin cells: distinct uniform cells per component
+    (place_pins_on_component:1478)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from placement_tpu.env.types import EnvParams, Variant
+from placement_tpu.ops.sat import orientation_action_mask
+
+I32 = jnp.int32
+
+
+def _randint(key, lo, hi_inclusive, shape=()):
+    """Uniform integer in [lo, hi_inclusive], mirroring np.random.randint(lo, hi+1)."""
+    return jax.random.randint(key, shape, lo, hi_inclusive + 1, dtype=I32)
+
+
+def _capped_multinomial(key, n_trials, probs, caps, max_trials: int):
+    """Sequential multinomial of ``n_trials`` draws over ``probs`` where bin i
+    may receive at most ``caps[i]`` draws (sample_truncated_multinomial,
+    dummy_env_rectangular_pin.py:258-295). ``n_trials`` may be traced;
+    ``max_trials`` is the static scan bound."""
+
+    def body(carry, trial_key):
+        counts, t = carry
+        open_bins = (counts < caps) & (probs > 0)
+        logits = jnp.where(open_bins, jnp.log(jnp.maximum(probs, 1e-30)), -jnp.inf)
+        draw = jax.random.categorical(trial_key, logits)
+        take = t < n_trials
+        counts = counts.at[draw].add(jnp.where(take, 1, 0))
+        return (counts, t + 1), None
+
+    counts0 = jnp.zeros_like(probs, dtype=I32)
+    (counts, _), _ = jax.lax.scan(
+        body, (counts0, jnp.asarray(0, I32)), jax.random.split(key, max_trials))
+    return counts
+
+
+def _multinomial(key, n_trials, probs, max_trials: int):
+    """Plain multinomial via categorical draws (np.random.multinomial at
+    allocate_pins_to_components_for_net:1237)."""
+    caps = jnp.full(probs.shape, max_trials, I32)
+    return _capped_multinomial(key, n_trials, probs, caps, max_trials)
+
+
+def generate_components(key, params: EnvParams):
+    """Sample component count and sizes (generate_components:983-1004)."""
+    c = params.max_components
+    k_n, k_h, k_w = jax.random.split(key, 3)
+    num = _randint(k_n, params.min_num_components, params.max_num_components)
+    comp_h = _randint(k_h, params.min_component_h, params.max_component_h, (c,))
+    comp_w = _randint(k_w, params.min_component_w, params.max_component_w, (c,))
+    valid = jnp.arange(c) < num
+    comp_h = jnp.where(valid, comp_h, 0)
+    comp_w = jnp.where(valid, comp_w, 0)
+    return num, comp_h, comp_w
+
+
+def _allocate_pins_to_nets(key, params: EnvParams, num_nets, total_pins):
+    """Number of pins for each net -> i32[N] (allocate_pins_to_nets:1067)."""
+    n_max = params.max_num_nets
+    k_norm, k_multi = jax.random.split(key)
+    net_ids = jnp.arange(n_max)
+    net_open = net_ids < num_nets
+
+    base = jnp.where(net_open, params.min_num_pins_per_net, 0)
+    extra_total = total_pins - params.min_num_pins_per_net * num_nets
+
+    if params.max_num_pins_per_net > params.min_num_pins_per_net:
+        # softmax of N(1/num_nets, 1/(net_distribution+1)) over open nets.
+        samples = (1.0 / jnp.maximum(num_nets, 1)
+                   + jax.random.normal(k_norm, (n_max,))
+                   / (params.net_distribution + 1.0))
+        logits = jnp.where(net_open, samples, -jnp.inf)
+        probs = jax.nn.softmax(logits)
+        cap_each = jnp.minimum(
+            params.max_num_pins_per_net - params.min_num_pins_per_net,
+            jnp.maximum(extra_total, 0))
+        caps = jnp.where(net_open, cap_each, 0)
+        max_extra = (params.max_num_pins_per_net
+                     - params.min_num_pins_per_net) * n_max
+        extra = _capped_multinomial(
+            k_multi, jnp.maximum(extra_total, 0), probs, caps, max_extra)
+    else:
+        extra = jnp.zeros((n_max,), I32)
+    return base + extra
+
+
+def _allocate_pins_to_components(key, params: EnvParams, num_components,
+                                 comp_area, num_nets, net_counts):
+    """Owning component for every pin slot.
+
+    Follows allocate_pins_to_components:1129 /
+    allocate_pins_to_components_for_net:1171: nets processed in order against
+    a shared free-space budget; per net, components are ranked by free space,
+    the receiving set is grown until its capacity covers the net, and pins are
+    distributed multinomially in proportion to free space with capacity caps.
+
+    Returns (pin_comp i32[P], pin_net i32[P], pin_chunk_local i32[P],
+    num_pins i32[]) where pins are laid out grouped by net (net 0's pins
+    first) exactly as the reference rebuilds ``self.pins`` (:1167-1169), and
+    ``pin_chunk_local`` reproduces the reference's per-(net, component,
+    round) chunk-local ``pin_id`` (:1256-1258).
+    """
+    c = params.max_components
+    p = params.max_pins
+    m_max = params.max_num_pins_per_net
+    n_max = params.max_num_nets
+    rounds = 3  # reference's while-loop almost always completes in 1 round
+
+    net_starts = jnp.concatenate(
+        [jnp.zeros((1,), I32), jnp.cumsum(net_counts)[:-1]])
+    num_pins = jnp.sum(net_counts)
+
+    # Per-net spread target (pin env vs spatial differ slightly):
+    if params.variant == Variant.PIN_SPATIAL:
+        # dummy_env_rectangular_pin_spatial.py:1103
+        k0 = (params.pin_spread * num_components) // 10 + 1
+    else:
+        # dummy_env_rectangular_pin.py:1148-1151
+        k0 = jnp.maximum(((params.pin_spread + 1) * num_components) // 10, 1)
+    k0 = jnp.minimum(k0, num_components)
+
+    def per_net(carry, inputs):
+        space = carry
+        net_id, net_key = inputs
+        m = net_counts[net_id]
+        active = net_id < num_nets
+
+        order = jnp.argsort(-space, stable=True)          # free space desc
+        sorted_space = space[order]
+        csum = jnp.cumsum(sorted_space)
+        # smallest k with csum[k-1] >= m, but at least k0 (grow loop :1212-1222)
+        enough = csum >= m
+        first_enough = jnp.argmax(enough) + 1
+        k = jnp.maximum(k0, jnp.where(jnp.any(enough), first_enough, c))
+
+        in_top = jnp.arange(c) < k
+
+        def per_round(rcarry, rkey):
+            sspace, assigned, comp_of_rank, local_of_rank = rcarry
+            remaining = m - assigned
+            w = jnp.where(in_top, sspace.astype(jnp.float32), 0.0)
+            probs = w / jnp.maximum(jnp.sum(w), 1e-30)
+            counts = _multinomial(rkey, jnp.maximum(remaining, 0), probs, m_max)
+            counts = jnp.minimum(counts, sspace)           # capacity cap :1251
+            bounds = jnp.cumsum(counts)
+            ranks = jnp.arange(m_max)
+            rel = ranks - assigned                          # rank within round
+            slot = jnp.searchsorted(bounds, rel, side="right")
+            slot = jnp.clip(slot, 0, c - 1)
+            newly = (rel >= 0) & (rel < jnp.sum(counts)) & (ranks < m)
+            comp_of_rank = jnp.where(newly, order[slot], comp_of_rank)
+            local = rel - jnp.where(slot > 0, bounds[slot - 1], 0)
+            local_of_rank = jnp.where(newly, local, local_of_rank)
+            sspace = sspace - counts
+            assigned = assigned + jnp.sum(counts)
+            return (sspace, assigned, comp_of_rank, local_of_rank), None
+
+        comp_of_rank0 = jnp.full((m_max,), -1, I32)
+        local_of_rank0 = jnp.zeros((m_max,), I32)
+        (sorted_space_left, _, comp_of_rank, local_of_rank), _ = jax.lax.scan(
+            per_round,
+            (sorted_space, jnp.asarray(0, I32), comp_of_rank0, local_of_rank0),
+            jax.random.split(net_key, rounds))
+
+        # write the consumed space back through the sort permutation
+        new_space = jnp.zeros_like(space).at[order].set(sorted_space_left)
+        space = jnp.where(active, new_space, space)
+        comp_of_rank = jnp.where(active, comp_of_rank, -1)
+        return space, (comp_of_rank, local_of_rank)
+
+    keys = jax.random.split(key, n_max)
+    space0 = comp_area.astype(I32)
+    _, (comp_of, local_of) = jax.lax.scan(
+        per_net, space0, (jnp.arange(n_max), keys))
+    # comp_of/local_of: [N, M] by (net, rank-within-net) -> flatten to pin table
+    pin_slots = jnp.arange(p)
+    pin_net = jnp.searchsorted(jnp.cumsum(net_counts), pin_slots, side="right")
+    pin_net = jnp.clip(pin_net, 0, n_max - 1)
+    rank = pin_slots - net_starts[pin_net]
+    in_use = (pin_slots < num_pins) & (pin_net < num_nets) & (rank < m_max)
+    safe_rank = jnp.clip(rank, 0, m_max - 1)
+    pin_comp = jnp.where(in_use, comp_of[pin_net, safe_rank], -1)
+    pin_local = jnp.where(in_use, local_of[pin_net, safe_rank], 0)
+    pin_net = jnp.where(in_use, pin_net, -1)
+    return pin_comp, pin_net, pin_local, num_pins
+
+
+def _place_pins_on_components(key, params: EnvParams, comp_h, comp_w,
+                              pin_comp):
+    """Distinct random cell (row-major order) on the owning component for each
+    pin (place_pins_on_component:1478-1498). A uniform random permutation of
+    each component's cells is drawn once; the component's pins, in table
+    order, take successive cells — equivalent in distribution to the
+    reference's sequential random.choice without replacement."""
+    c = params.max_components
+    p = params.max_pins
+    ppc = params.max_num_pins_per_component
+
+    # random priority per (component, cell); invalid cells pushed to the end
+    scores = jax.random.uniform(key, (c, ppc))
+    cell_ids = jnp.arange(ppc)
+    cell_valid = cell_ids[None, :] < (comp_h * comp_w)[:, None]
+    scores = jnp.where(cell_valid, scores, 2.0)
+    cell_order = jnp.argsort(scores, axis=1)               # [C, ppc]
+
+    # rank of each pin within its component (in pin-table order)
+    same = (pin_comp[None, :] == pin_comp[:, None]) & (pin_comp[:, None] >= 0)
+    earlier = jnp.tril(same, k=-1)
+    rank = jnp.sum(earlier, axis=1)
+
+    safe_comp = jnp.clip(pin_comp, 0, c - 1)
+    safe_rank = jnp.clip(rank, 0, ppc - 1)
+    cell = cell_order[safe_comp, safe_rank]
+    w = jnp.maximum(comp_w[safe_comp], 1)
+    rel_x = cell // w
+    rel_y = cell % w
+    used = pin_comp >= 0
+    rel_x = jnp.where(used, rel_x, -1)
+    rel_y = jnp.where(used, rel_y, -1)
+    return rel_x.astype(I32), rel_y.astype(I32)
+
+
+def generate_instance(key, params: EnvParams):
+    """Full instance draw. Returns a dict of state fields (pre-mask)."""
+    c = params.max_components
+    p = params.max_pins
+    (k_comp, k_nets, k_pins, k_alloc_nets,
+     k_alloc_comps, k_cells) = jax.random.split(key, 6)
+
+    num_components, comp_h, comp_w = generate_components(k_comp, params)
+    comp_area = comp_h * comp_w
+    total_area = jnp.sum(comp_area)
+
+    if not params.has_pins:
+        zero = jnp.zeros((p,), I32)
+        return dict(
+            num_components=num_components, comp_h=comp_h, comp_w=comp_w,
+            comp_x=jnp.full((c,), -1, I32), comp_y=jnp.full((c,), -1, I32),
+            pin_rel_x=zero - 1, pin_rel_y=zero - 1,
+            pin_abs_x=zero - 1, pin_abs_y=zero - 1,
+            pin_net=zero - 1, pin_comp=zero - 1, pin_local=zero,
+            num_nets=jnp.asarray(0, I32), num_pins=jnp.asarray(0, I32))
+
+    # sample_num_nets:1043 — capped at total component area / 2
+    num_nets = _randint(k_nets, params.min_num_nets, params.max_num_nets)
+    num_nets = jnp.minimum(num_nets, total_area // 2)
+    num_nets = jnp.maximum(num_nets, 1)
+
+    # sample_total_num_pins:1050 — capped at total component area
+    total_pins = _randint(
+        k_pins, params.min_num_pins_per_net * num_nets,
+        params.max_num_pins_per_net * num_nets)
+    total_pins = jnp.minimum(total_pins, total_area)
+
+    net_counts = _allocate_pins_to_nets(k_alloc_nets, params, num_nets,
+                                        total_pins)
+    pin_comp, pin_net, pin_chunk_local, num_pins = _allocate_pins_to_components(
+        k_alloc_comps, params, num_components, comp_area, num_nets, net_counts)
+    rel_x, rel_y = _place_pins_on_components(k_cells, params, comp_h, comp_w,
+                                             pin_comp)
+
+    if params.variant == Variant.PIN_SPATIAL:
+        # Spatial env keeps the global creation index as pin_id
+        # (dummy_env_rectangular_pin_spatial.py drops the per-chunk rewrite).
+        pin_local = jnp.where(pin_net >= 0, jnp.arange(p, dtype=I32), 0)
+    else:
+        pin_local = pin_chunk_local
+
+    neg = jnp.full((p,), -1, I32)
+    return dict(
+        num_components=num_components, comp_h=comp_h, comp_w=comp_w,
+        comp_x=jnp.full((c,), -1, I32), comp_y=jnp.full((c,), -1, I32),
+        pin_rel_x=rel_x, pin_rel_y=rel_y,
+        pin_abs_x=neg, pin_abs_y=neg,
+        pin_net=pin_net, pin_comp=pin_comp, pin_local=pin_local,
+        num_nets=num_nets, num_pins=num_pins)

@@ -1,0 +1,291 @@
+"""Routing-based terminal reward as fixed-shape array reductions.
+
+Reference subsystem: dummy_env_rectangular_pin.py:643-975
+  * centroid routing        route_pins_centroid:1296
+  * beam-search routing     beam_search:1356 / route_pins_beam_search:1425
+  * crossing count          find_num_intersection:663 / is_intersect:687
+  * wirelength              find_wirelength:741
+  * reward composition      find_reward:832
+
+TPU-native design: all nets are routed simultaneously on padded
+``[N, M]`` pin tensors; the O(nets^2 * segments^2) Python crossing loops
+become one vectorized all-pairs predicate over a padded segment table with a
+cross-net mask; the heapq beam search becomes a ``lax.scan`` over path length
+with a fixed ``[beam]`` frontier and lexicographic tie-breaking that mirrors
+heap ordering.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from placement_tpu.env.types import EnvParams, Variant
+
+F32 = jnp.float32
+BIG = jnp.float32(1e9)
+
+
+def net_pin_table(params: EnvParams, pin_abs_x, pin_abs_y, pin_net):
+    """Scatter the flat pin table into per-net position tensors.
+
+    Returns (pos f32[N, M, 2], mask bool[N, M], counts i32[N]). Slot order
+    within a net is pin-table order, which is the reference's net-grouped
+    ``self.pins`` order (dummy_env_rectangular_pin.py:1167-1169).
+    """
+    n, m = params.max_num_nets, params.max_num_pins_per_net
+    p = pin_net.shape[0]
+    valid = pin_net >= 0
+    # rank of pin within its net (stable, table order)
+    same = (pin_net[None, :] == pin_net[:, None]) & valid[None, :] & valid[:, None]
+    rank = jnp.sum(jnp.tril(same, k=-1), axis=1)
+
+    net_idx = jnp.where(valid, pin_net, n)        # overflow row for padding
+    rank = jnp.where(valid, jnp.clip(rank, 0, m - 1), m)
+
+    pos = jnp.zeros((n + 1, m + 1, 2), F32)
+    pos = pos.at[net_idx, rank, 0].set(pin_abs_x.astype(F32))
+    pos = pos.at[net_idx, rank, 1].set(pin_abs_y.astype(F32))
+    mask = jnp.zeros((n + 1, m + 1), bool).at[net_idx, rank].set(valid)
+    counts = jnp.sum(mask[:n, :m], axis=1)
+    return pos[:n, :m], mask[:n, :m], counts
+
+
+# ---------------------------------------------------------------------------
+# Centroid routing (route_pins_centroid:1296-1324)
+# ---------------------------------------------------------------------------
+
+def centroid_route(pos, mask):
+    """Segments f32[N, M, 4] + validity bool[N, M].
+
+    A net with exactly two pins is routed directly pin->pin; otherwise every
+    pin connects to the net centroid.
+    """
+    counts = jnp.sum(mask, axis=1)
+    csum = jnp.sum(jnp.where(mask[..., None], pos, 0.0), axis=1)
+    centroid = csum / jnp.maximum(counts, 1)[:, None].astype(F32)
+
+    # star segments pin -> centroid
+    star = jnp.concatenate(
+        [pos, jnp.broadcast_to(centroid[:, None, :], pos.shape)], axis=-1)
+    star_valid = mask
+
+    # two-pin direct segment occupies slot 0 only
+    direct = jnp.concatenate([pos[:, 0], pos[:, 1]], axis=-1)  # [N, 4]
+    two = (counts == 2)[:, None]
+    seg = jnp.where(two[..., None], 0.0, star)
+    seg = seg.at[:, 0].set(jnp.where(two, direct, seg[:, 0]))
+    seg_valid = jnp.where(two, jnp.arange(mask.shape[1])[None, :] == 0,
+                          star_valid)
+    seg_valid = seg_valid & (counts > 0)[:, None]
+    return seg, seg_valid
+
+
+# ---------------------------------------------------------------------------
+# Beam-search routing (beam_search:1356-1423)
+# ---------------------------------------------------------------------------
+
+def _lex_rank(paths):
+    """Order key for heap tie-breaking: smaller = lexicographically-earlier
+    path (heapq compares the path list when priorities tie)."""
+    b, L = paths.shape
+    # positional weights: earlier positions dominate; indices are < M <= ~64
+    base = paths.shape[1] + 2.0
+    weights = base ** (-jnp.arange(L, dtype=F32))
+    return jnp.sum((paths + 1).astype(F32) * weights, axis=1)
+
+
+def beam_search_net(pos, mask, beam_width: int):
+    """Shortest pin-visiting path for one net -> path indices i32[M].
+
+    Start pin = the outlier farthest from the centroid (pin_outlier:1326,
+    np.argmax => first max wins ties). Each round, up to ``beam_width``
+    frontier paths each expand to their ``beam_width`` nearest unvisited pins
+    (stable distance sort => ties by pin order), and the ``beam_width`` best
+    new paths survive ranked by (total distance, lexicographic path) — the
+    heapq ordering of the reference.
+    """
+    m = pos.shape[0]
+    bw = beam_width
+    count = jnp.sum(mask)
+
+    centroid = (jnp.sum(jnp.where(mask[:, None], pos, 0.0), axis=0)
+                / jnp.maximum(count, 1).astype(F32))
+    d_cent = jnp.where(mask, jnp.linalg.norm(pos - centroid, axis=1), -1.0)
+    start = jnp.argmax(d_cent)
+
+    paths = jnp.full((bw, m), -1, jnp.int32).at[:, 0].set(start)
+    visited = jnp.zeros((bw, m), bool).at[:, start].set(True)
+    visited = visited | ~mask[None, :]
+    cost = jnp.where(jnp.arange(bw) == 0, 0.0, BIG)   # only beam 0 alive
+    current = jnp.full((bw,), start, jnp.int32)
+
+    def round_(state, step):
+        paths, visited, cost, current = state
+        # distances from each frontier head to every pin
+        d = jnp.linalg.norm(pos[None, :, :] - pos[current][:, None, :],
+                            axis=-1)                       # [bw, m]
+        d = jnp.where(visited, BIG, d)
+        # stable sort => equal distances break by pin index, like sorted()
+        nbr_order = jnp.argsort(d, axis=1, stable=True)    # [bw, m]
+        nbr = nbr_order[:, :bw]                            # [bw, bw]
+        nbr_d = jnp.take_along_axis(d, nbr, axis=1)
+
+        # candidate paths [bw*bw, m]
+        cand_cost = (cost[:, None] + nbr_d).reshape(-1)
+        cand_parent = jnp.repeat(jnp.arange(bw), bw)
+        cand_pin = nbr.reshape(-1)
+        cand_paths = paths[cand_parent].at[
+            jnp.arange(bw * bw), jnp.full((bw * bw,), step + 1)].set(cand_pin)
+        cand_dead = cand_cost >= BIG
+        cand_cost = jnp.where(cand_dead, BIG, cand_cost)
+
+        # select beam_width best by (cost, lexicographic path)
+        lex = _lex_rank(cand_paths)
+        order = jnp.lexsort((lex, cand_cost))
+        keep = order[:bw]
+
+        new_paths = cand_paths[keep]
+        new_cost = cand_cost[keep]
+        new_current = cand_pin[keep]
+        new_visited = visited[cand_parent[keep]].at[
+            jnp.arange(bw), new_current].set(True)
+
+        # freeze once the path is complete (step+1 >= count-1 expansions done)
+        active = (step + 1) <= (count - 1)
+        paths = jnp.where(active, new_paths, paths)
+        visited = jnp.where(active, new_visited, visited)
+        cost = jnp.where(active, new_cost, cost)
+        current = jnp.where(active, new_current, current)
+        return (paths, visited, cost, current), None
+
+    (paths, visited, cost, current), _ = jax.lax.scan(
+        round_, (paths, visited, cost, current), jnp.arange(m - 1))
+
+    # final heap pop: min (cost, lexicographic path)
+    lex = _lex_rank(paths)
+    best = jnp.lexsort((lex, cost))[0]
+    return paths[best]
+
+
+def beam_route(params: EnvParams, pos, mask, beam_width: int):
+    """Routes for all nets via beam search -> (segments f32[N, M-1, 4],
+    validity bool[N, M-1])."""
+    m = params.max_num_pins_per_net
+
+    def one(net_pos, net_mask):
+        path = beam_search_net(net_pos, net_mask, beam_width)
+        cnt = jnp.sum(net_mask)
+        a = path[:-1]
+        b = path[1:]
+        seg = jnp.concatenate(
+            [net_pos[jnp.clip(a, 0, m - 1)], net_pos[jnp.clip(b, 0, m - 1)]],
+            axis=-1)
+        seg_valid = (jnp.arange(m - 1) < (cnt - 1)) & (a >= 0) & (b >= 0)
+        return seg, seg_valid
+
+    return jax.vmap(one)(pos, mask)
+
+
+# ---------------------------------------------------------------------------
+# Crossing count + wirelength (find_num_intersection:663, find_wirelength:741)
+# ---------------------------------------------------------------------------
+
+def _pairwise_intersect(seg_a, seg_b):
+    """is_intersect (dummy_env_rectangular_pin.py:687-739), vectorized over
+    leading dims: shared endpoint => True; parallel (det == 0) => False;
+    otherwise the line-line intersection point must lie inside both segments'
+    bounding boxes (inclusive)."""
+    x1, y1, x2, y2 = jnp.moveaxis(seg_a, -1, 0)
+    x3, y3, x4, y4 = jnp.moveaxis(seg_b, -1, 0)
+
+    same = (((x1 == x3) & (y1 == y3)) | ((x1 == x4) & (y1 == y4))
+            | ((x2 == x3) & (y2 == y3)) | ((x2 == x4) & (y2 == y4)))
+
+    det = (x1 - x2) * (y3 - y4) - (y1 - y2) * (x3 - x4)
+    safe_det = jnp.where(det == 0, 1.0, det)
+    a = x1 * y2 - y1 * x2
+    b = x3 * y4 - y3 * x4
+    px = (a * (x3 - x4) - (x1 - x2) * b) / safe_det
+    py = (a * (y3 - y4) - (y1 - y2) * b) / safe_det
+
+    on_both = ((jnp.minimum(x1, x2) <= px) & (px <= jnp.maximum(x1, x2))
+               & (jnp.minimum(x3, x4) <= px) & (px <= jnp.maximum(x3, x4))
+               & (jnp.minimum(y1, y2) <= py) & (py <= jnp.maximum(y1, y2))
+               & (jnp.minimum(y3, y4) <= py) & (py <= jnp.maximum(y3, y4)))
+    return same | ((det != 0) & on_both)
+
+
+def count_crossings(segs, seg_valid):
+    """Number of intersecting cross-net segment pairs.
+
+    ``segs`` f32[N, M, 4], ``seg_valid`` bool[N, M]. Only pairs from
+    different nets are counted, each unordered pair once
+    (find_num_intersection:663-685).
+    """
+    n, m, _ = segs.shape
+    flat = segs.reshape(n * m, 4)
+    valid = seg_valid.reshape(n * m)
+    net = jnp.repeat(jnp.arange(n), m)
+
+    hit = _pairwise_intersect(flat[:, None, :], flat[None, :, :])
+    pair_ok = (net[:, None] < net[None, :]) & valid[:, None] & valid[None, :]
+    return jnp.sum(hit & pair_ok).astype(jnp.int32)
+
+
+def wirelength(segs, seg_valid):
+    d = jnp.hypot(segs[..., 0] - segs[..., 2], segs[..., 1] - segs[..., 3])
+    return jnp.sum(jnp.where(seg_valid, d, 0.0))
+
+
+# ---------------------------------------------------------------------------
+# Reward composition (find_reward:832-975)
+# ---------------------------------------------------------------------------
+
+def terminal_reward(params: EnvParams, pin_abs_x, pin_abs_y, pin_net,
+                    placed_all):
+    """Reward + (info_wirelength, info_intersections) for an episode end.
+
+    ``placed_all`` False selects the worst-case penalty branch
+    (find_reward:898-909): the raw upper bounds are surfaced in info while
+    the reward uses their normalized values.
+    """
+    wl_norm = params.wirelength_normalizer
+    int_norm = params.intersections_normalizer
+    lam_w = params.weight_wirelength
+    lam_i = params.weight_num_intersections
+
+    pos, mask, _ = net_pin_table(params, pin_abs_x, pin_abs_y, pin_net)
+
+    if params.reward_type in ("centroid", "both"):
+        c_segs, c_valid = centroid_route(pos, mask)
+        c_int = count_crossings(c_segs, c_valid)
+        c_wl = wirelength(c_segs, c_valid)
+    if params.reward_type in ("beam", "both"):
+        b_segs, b_valid = beam_route(params, pos, mask,
+                                     params.reward_beam_width)
+        b_int = count_crossings(b_segs, b_valid)
+        b_wl = wirelength(b_segs, b_valid)
+
+    if params.reward_type == "centroid":
+        n_int, wl = c_int, c_wl
+    elif params.reward_type == "beam":
+        n_int, wl = b_int, b_wl
+    else:
+        # "both": fewest crossings wins; tie -> beam (routes[0]), :951-965
+        use_beam = b_int <= c_int
+        n_int = jnp.where(use_beam, b_int, c_int)
+        wl = jnp.where(use_beam, b_wl, c_wl)
+
+    wl = wl / wl_norm
+    n_int_f = n_int.astype(F32) / int_norm
+    routed_reward = -(lam_w * wl + lam_i * n_int_f)
+
+    penalty = -(lam_w * (params.max_wirelength / wl_norm)
+                + lam_i * (params.max_num_intersections / int_norm))
+
+    reward = jnp.where(placed_all, routed_reward, penalty)
+    info_wl = jnp.where(placed_all, wl, params.max_wirelength)
+    info_int = jnp.where(placed_all, n_int_f,
+                         jnp.asarray(params.max_num_intersections, F32))
+    return reward.astype(F32), info_wl.astype(F32), info_int.astype(F32)
