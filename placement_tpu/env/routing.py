@@ -85,43 +85,47 @@ def centroid_route(pos, mask):
 # Beam-search routing (beam_search:1356-1423)
 # ---------------------------------------------------------------------------
 
-def _lex_rank(paths):
-    """Order key for heap tie-breaking: smaller = lexicographically-earlier
-    path (heapq compares the path list when priorities tie)."""
-    b, L = paths.shape
-    # positional weights: earlier positions dominate; indices are < M <= ~64
-    base = paths.shape[1] + 2.0
-    weights = base ** (-jnp.arange(L, dtype=F32))
-    return jnp.sum((paths + 1).astype(F32) * weights, axis=1)
+_COORD_BASE = jnp.float32(1 << 15)
 
 
-def beam_search_net(pos, mask, beam_width: int):
+def _point_key(pos):
+    """Scalar order key per point equal to lexicographic (x, y) comparison
+    for coordinates < 2^15 (heapq compares the coordinate tuples when path
+    priorities tie)."""
+    return pos[..., 0] * _COORD_BASE + pos[..., 1]
+
+
+def _heap_order(cost, path_keys):
+    """Indices sorting candidates the way heapq pops (priority, path)
+    tuples: primary = cost, then the path's point tuples lexicographically.
+    ``path_keys`` f32[K, L] holds the per-position point keys."""
+    keys = tuple(path_keys[:, i] for i in range(path_keys.shape[1] - 1, -1, -1))
+    return jnp.lexsort(keys + (cost,))
+
+
+def beam_search_net(pos, mask, beam_width: int, start):
     """Shortest pin-visiting path for one net -> path indices i32[M].
 
-    Start pin = the outlier farthest from the centroid (pin_outlier:1326,
-    np.argmax => first max wins ties). Each round, up to ``beam_width``
-    frontier paths each expand to their ``beam_width`` nearest unvisited pins
-    (stable distance sort => ties by pin order), and the ``beam_width`` best
-    new paths survive ranked by (total distance, lexicographic path) — the
-    heapq ordering of the reference.
+    Each round, up to ``beam_width`` frontier paths each expand to their
+    ``beam_width`` nearest unvisited pins (stable distance sort => ties by
+    pin order, like the reference's ``sorted``), and the ``beam_width`` best
+    new paths survive ranked by (total distance, lexicographic coordinate
+    path) — exactly the heapq ordering of beam_search:1356-1423.
     """
     m = pos.shape[0]
     bw = beam_width
     count = jnp.sum(mask)
-
-    centroid = (jnp.sum(jnp.where(mask[:, None], pos, 0.0), axis=0)
-                / jnp.maximum(count, 1).astype(F32))
-    d_cent = jnp.where(mask, jnp.linalg.norm(pos - centroid, axis=1), -1.0)
-    start = jnp.argmax(d_cent)
+    pkeys = _point_key(pos)
 
     paths = jnp.full((bw, m), -1, jnp.int32).at[:, 0].set(start)
+    path_keys = jnp.full((bw, m), -1.0, F32).at[:, 0].set(pkeys[start])
     visited = jnp.zeros((bw, m), bool).at[:, start].set(True)
     visited = visited | ~mask[None, :]
     cost = jnp.where(jnp.arange(bw) == 0, 0.0, BIG)   # only beam 0 alive
     current = jnp.full((bw,), start, jnp.int32)
 
     def round_(state, step):
-        paths, visited, cost, current = state
+        paths, path_keys, visited, cost, current = state
         # distances from each frontier head to every pin
         d = jnp.linalg.norm(pos[None, :, :] - pos[current][:, None, :],
                             axis=-1)                       # [bw, m]
@@ -135,37 +139,47 @@ def beam_search_net(pos, mask, beam_width: int):
         cand_cost = (cost[:, None] + nbr_d).reshape(-1)
         cand_parent = jnp.repeat(jnp.arange(bw), bw)
         cand_pin = nbr.reshape(-1)
-        cand_paths = paths[cand_parent].at[
-            jnp.arange(bw * bw), jnp.full((bw * bw,), step + 1)].set(cand_pin)
+        rows = jnp.arange(bw * bw)
+        cols = jnp.full((bw * bw,), step + 1)
+        cand_paths = paths[cand_parent].at[rows, cols].set(cand_pin)
+        cand_keys = path_keys[cand_parent].at[rows, cols].set(pkeys[cand_pin])
         cand_dead = cand_cost >= BIG
         cand_cost = jnp.where(cand_dead, BIG, cand_cost)
 
-        # select beam_width best by (cost, lexicographic path)
-        lex = _lex_rank(cand_paths)
-        order = jnp.lexsort((lex, cand_cost))
-        keep = order[:bw]
+        keep = _heap_order(cand_cost, cand_keys)[:bw]
 
         new_paths = cand_paths[keep]
+        new_keys = cand_keys[keep]
         new_cost = cand_cost[keep]
         new_current = cand_pin[keep]
         new_visited = visited[cand_parent[keep]].at[
             jnp.arange(bw), new_current].set(True)
 
-        # freeze once the path is complete (step+1 >= count-1 expansions done)
+        # freeze once the path is complete (count-1 expansions done)
         active = (step + 1) <= (count - 1)
         paths = jnp.where(active, new_paths, paths)
+        path_keys = jnp.where(active, new_keys, path_keys)
         visited = jnp.where(active, new_visited, visited)
         cost = jnp.where(active, new_cost, cost)
         current = jnp.where(active, new_current, current)
-        return (paths, visited, cost, current), None
+        return (paths, path_keys, visited, cost, current), None
 
-    (paths, visited, cost, current), _ = jax.lax.scan(
-        round_, (paths, visited, cost, current), jnp.arange(m - 1))
+    (paths, path_keys, visited, cost, current), _ = jax.lax.scan(
+        round_, (paths, path_keys, visited, cost, current), jnp.arange(m - 1))
 
     # final heap pop: min (cost, lexicographic path)
-    lex = _lex_rank(paths)
-    best = jnp.lexsort((lex, cost))[0]
+    best = _heap_order(cost, path_keys)[0]
     return paths[best]
+
+
+def pin_outlier_index(pos, mask):
+    """Index of the pin farthest from the net centroid (pin_outlier:1326;
+    np.argmax => first max wins ties)."""
+    count = jnp.sum(mask)
+    centroid = (jnp.sum(jnp.where(mask[:, None], pos, 0.0), axis=0)
+                / jnp.maximum(count, 1).astype(F32))
+    d = jnp.where(mask, jnp.linalg.norm(pos - centroid, axis=1), -1.0)
+    return jnp.argmax(d)
 
 
 def beam_route(params: EnvParams, pos, mask, beam_width: int):
@@ -174,7 +188,8 @@ def beam_route(params: EnvParams, pos, mask, beam_width: int):
     m = params.max_num_pins_per_net
 
     def one(net_pos, net_mask):
-        path = beam_search_net(net_pos, net_mask, beam_width)
+        start = pin_outlier_index(net_pos, net_mask)
+        path = beam_search_net(net_pos, net_mask, beam_width, start)
         cnt = jnp.sum(net_mask)
         a = path[:-1]
         b = path[1:]

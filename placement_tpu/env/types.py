@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
+import math
 from typing import Any
 
 import jax.numpy as jnp
@@ -110,7 +111,7 @@ class EnvParams:
     # Upper-bound penalty terms, cf. dummy_env_rectangular_pin.py:761-830.
     @property
     def max_wirelength(self) -> float:
-        dist = float(jnp.hypot(float(self.height), float(self.width)))
+        dist = math.hypot(float(self.height), float(self.width))
         total = 0.5 * dist * (self.max_num_nets * self.max_num_pins_per_net)
         if self.variant == Variant.PIN_SPATIAL:
             # Spatial env pre-normalizes by (h + w), dummy_env_rectangular_pin_spatial.py:746.
