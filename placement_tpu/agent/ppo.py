@@ -1,0 +1,299 @@
+"""On-device PPO actor-learner.
+
+Replaces Ray RLlib 2.2's PPO (tune.run("PPO", ...) at
+experiments/PPO/PPO.py:39-47) with a single jitted train step: rollout
+(lax.scan over the batched env) -> GAE -> minibatched clipped-surrogate
+updates, with RLlib 2.2's default hyperparameters so learning curves are
+comparable (clip 0.3, lr 5e-5, gamma 0.99, lambda 1.0, vf_clip 10,
+kl_coeff 0.2 with adaptive update, entropy 0.0, 30 SGD iters over
+128-sized minibatches of a 4000-sample train batch).
+
+The whole step — env physics, model forward/backward, optimizer — runs on
+device; the host only sees scalar metrics. Under a sharded batch axis this
+same code runs data-parallel on a Mesh (see placement_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from placement_tpu.agent.policy import Policy
+from placement_tpu.env import core
+from placement_tpu.env.types import EnvParams, EnvState
+
+
+@dataclasses.dataclass(frozen=True)
+class PPOConfig:
+    """RLlib 2.2 PPO defaults (ray.rllib.algorithms.ppo.PPOConfig)."""
+
+    gamma: float = 0.99
+    gae_lambda: float = 1.0
+    lr: float = 5e-5
+    clip_param: float = 0.3
+    vf_clip_param: float = 10.0
+    vf_loss_coeff: float = 1.0
+    entropy_coeff: float = 0.0
+    kl_coeff: float = 0.2
+    kl_target: float = 0.01
+    num_envs: int = 128
+    unroll_length: int = 32           # num_envs * unroll = train batch
+    minibatch_size: int = 128
+    num_sgd_iter: int = 30
+    grad_clip: Optional[float] = None
+
+    @property
+    def train_batch(self) -> int:
+        return self.num_envs * self.unroll_length
+
+
+class TrainState(struct.PyTreeNode):
+    variables: Any                   # {'params': ..., 'batch_stats': ...}
+    opt_state: Any
+    kl_coeff: jnp.ndarray
+    env_states: EnvState             # batched [num_envs]
+    key: jnp.ndarray
+    steps: jnp.ndarray
+
+
+class Transition(NamedTuple):
+    obs: Dict[str, jnp.ndarray]
+    action: jnp.ndarray
+    logp: jnp.ndarray
+    value: jnp.ndarray
+    reward: jnp.ndarray
+    done: jnp.ndarray
+    dist_inputs: jnp.ndarray
+
+
+class PPOLearner:
+    """Compiled PPO over a batched placement env."""
+
+    def __init__(self, env_params: EnvParams, policy: Policy,
+                 cfg: PPOConfig = PPOConfig()):
+        self.env_params = env_params
+        self.policy = policy
+        self.cfg = cfg
+        self.tx = self._make_tx()
+
+    def _make_tx(self):
+        chain = []
+        if self.cfg.grad_clip is not None:
+            chain.append(optax.clip_by_global_norm(self.cfg.grad_clip))
+        chain.append(optax.adam(self.cfg.lr))
+        return optax.chain(*chain)
+
+    # -- init --------------------------------------------------------------
+
+    def init(self, key) -> TrainState:
+        k_env, k_model, k_run = jax.random.split(key, 3)
+        env_keys = jax.random.split(k_env, self.cfg.num_envs)
+        env_states = jax.vmap(lambda k: core.reset(self.env_params, k))(
+            env_keys)
+        obs = jax.vmap(lambda s: core.observe(self.env_params, s))(env_states)
+        variables = self.policy.init(k_model, obs)
+        opt_state = self.tx.init(variables["params"])
+        return TrainState(
+            variables=variables, opt_state=opt_state,
+            kl_coeff=jnp.asarray(self.cfg.kl_coeff, jnp.float32),
+            env_states=env_states, key=k_run,
+            steps=jnp.asarray(0, jnp.int32))
+
+    # -- rollout -----------------------------------------------------------
+
+    def _rollout(self, state: TrainState):
+        env_params = self.env_params
+
+        def step_fn(carry, _):
+            env_states, key = carry
+            key, k_act = jax.random.split(key)
+            obs = jax.vmap(lambda s: core.observe(env_params, s))(env_states)
+            action, logp, value, dist_inputs = self.policy.act(
+                state.variables, obs, k_act)
+            next_states, reward, done, info = jax.vmap(
+                lambda s, a: core.step_autoreset(env_params, s, a))(
+                env_states, action)
+            tr = Transition(obs=obs, action=action, logp=logp, value=value,
+                            reward=reward, done=done,
+                            dist_inputs=dist_inputs)
+            metrics = {
+                "done": done, "reward": reward,
+                "wirelength": info.get("wirelength", jnp.zeros_like(reward)),
+                "intersections": info.get("num_intersections",
+                                          jnp.zeros_like(reward)),
+            }
+            return (next_states, key), (tr, metrics)
+
+        key, k_roll = jax.random.split(state.key)
+        (env_states, _), (traj, metrics) = jax.lax.scan(
+            step_fn, (state.env_states, k_roll), None,
+            length=self.cfg.unroll_length)
+        # bootstrap value for the final observation
+        obs = jax.vmap(lambda s: core.observe(env_params, s))(env_states)
+        out = self.policy.model.apply(state.variables, obs, train=False)
+        last_value = out["value"]
+        return state.replace(env_states=env_states, key=key), traj, \
+            last_value, metrics
+
+    # -- GAE (Postprocessing.compute_gae_for_sample_batch) ------------------
+
+    def _gae(self, traj: Transition, last_value):
+        cfg = self.cfg
+
+        def back(carry, inp):
+            adv_next, v_next = carry
+            reward, value, done = inp
+            nonterminal = 1.0 - done.astype(jnp.float32)
+            delta = reward + cfg.gamma * v_next * nonterminal - value
+            adv = delta + cfg.gamma * cfg.gae_lambda * nonterminal * adv_next
+            return (adv, value), adv
+
+        (_, _), advantages = jax.lax.scan(
+            back, (jnp.zeros_like(last_value), last_value),
+            (traj.reward, traj.value, traj.done), reverse=True)
+        value_targets = advantages + traj.value
+        return advantages, value_targets
+
+    # -- loss (ray.rllib.algorithms.ppo.ppo_tf_policy loss) -----------------
+
+    def _loss(self, params, batch_stats, mb, kl_coeff, key):
+        cfg = self.cfg
+        variables = {"params": params, **batch_stats}
+        logp, entropy, value, kl, updates = self.policy.evaluate(
+            variables, mb["obs"], mb["action"], mb["dist_inputs"], key,
+            train=True)
+        ratio = jnp.exp(logp - mb["logp"])
+        adv = mb["advantages"]
+        surrogate = jnp.minimum(
+            ratio * adv,
+            jnp.clip(ratio, 1.0 - cfg.clip_param, 1.0 + cfg.clip_param) * adv)
+        vf_err = jnp.square(value - mb["value_targets"])
+        vf_loss = jnp.clip(vf_err, 0.0, cfg.vf_clip_param)
+        mean_kl = jnp.mean(kl)
+        total = (-jnp.mean(surrogate)
+                 + cfg.vf_loss_coeff * jnp.mean(vf_loss)
+                 - cfg.entropy_coeff * jnp.mean(entropy)
+                 + kl_coeff * mean_kl)
+        aux = {"policy_loss": -jnp.mean(surrogate),
+               "vf_loss": jnp.mean(vf_loss),
+               "entropy": jnp.mean(entropy), "kl": mean_kl,
+               "bn_updates": updates}
+        return total, aux
+
+    # -- one full train iteration ------------------------------------------
+
+    def train_step(self, state: TrainState):
+        cfg = self.cfg
+        state, traj, last_value, roll_metrics = self._rollout(state)
+        advantages, value_targets = self._gae(traj, last_value)
+
+        # flatten [T, B, ...] -> [N, ...]
+        def flat(x):
+            return x.reshape((-1,) + x.shape[2:])
+
+        batch = {
+            "obs": jax.tree_util.tree_map(flat, traj.obs),
+            "action": flat(traj.action), "logp": flat(traj.logp),
+            "value": flat(traj.value), "dist_inputs": flat(traj.dist_inputs),
+            "advantages": flat(advantages),
+            "value_targets": flat(value_targets),
+        }
+        # standardize advantages (RLlib standardize_fields=["advantages"])
+        adv = batch["advantages"]
+        batch["advantages"] = (adv - adv.mean()) / jnp.maximum(adv.std(), 1e-4)
+
+        n = cfg.train_batch
+        n_mb = max(n // cfg.minibatch_size, 1)
+
+        def sgd_epoch(carry, key_epoch):
+            variables, opt_state, kl_coeff = carry
+            perm = jax.random.permutation(key_epoch, n)
+
+            def mb_step(carry2, idx):
+                variables, opt_state = carry2
+                sel = jax.lax.dynamic_slice_in_dim(
+                    perm, idx * cfg.minibatch_size, cfg.minibatch_size)
+                take = jax.tree_util.tree_map(
+                    lambda x: jnp.take(x, sel, axis=0), batch)
+                k = jax.random.fold_in(key_epoch, idx)
+                batch_stats = {k2: v for k2, v in variables.items()
+                               if k2 != "params"}
+                (loss, aux), grads = jax.value_and_grad(
+                    self._loss, has_aux=True)(
+                    variables["params"], batch_stats, take, kl_coeff, k)
+                updates, opt_state = self.tx.update(grads, opt_state,
+                                                    variables["params"])
+                new_params = optax.apply_updates(variables["params"], updates)
+                new_vars = {"params": new_params}
+                if aux["bn_updates"]:
+                    new_vars.update(aux["bn_updates"])
+                else:
+                    new_vars.update(batch_stats)
+                aux = {k2: v for k2, v in aux.items() if k2 != "bn_updates"}
+                return (new_vars, opt_state), aux
+
+            (variables, opt_state), aux = jax.lax.scan(
+                mb_step, (variables, opt_state), jnp.arange(n_mb))
+            return (variables, opt_state, kl_coeff), aux
+
+        key, k_sgd = jax.random.split(state.key)
+        (variables, opt_state, kl_coeff), aux = jax.lax.scan(
+            sgd_epoch, (state.variables, state.opt_state, state.kl_coeff),
+            jax.random.split(k_sgd, cfg.num_sgd_iter))
+
+        # adaptive KL coefficient (RLlib update_kl)
+        mean_kl = aux["kl"][-1].mean()
+        kl_coeff = jnp.where(mean_kl > 2.0 * cfg.kl_target, kl_coeff * 1.5,
+                             jnp.where(mean_kl < 0.5 * cfg.kl_target,
+                                       kl_coeff * 0.5, kl_coeff))
+
+        done = roll_metrics["done"]
+        n_done = jnp.maximum(done.sum(), 1)
+        metrics = {
+            "policy_loss": aux["policy_loss"].mean(),
+            "vf_loss": aux["vf_loss"].mean(),
+            "entropy": aux["entropy"].mean(),
+            "kl": mean_kl,
+            "kl_coeff": kl_coeff,
+            "episode_reward_mean": _episode_return_mean(
+                roll_metrics["reward"], done),
+            "episodes_this_iter": done.sum(),
+            # custom metrics parity (utils/agent/callbacks.py:35-42)
+            "normalized_wirelengths_mean":
+                (roll_metrics["wirelength"] * done).sum() / n_done,
+            "num_intersections_mean":
+                (roll_metrics["intersections"] * done).sum() / n_done,
+        }
+        new_state = state.replace(
+            variables=variables, opt_state=opt_state, kl_coeff=kl_coeff,
+            key=key, steps=state.steps + cfg.train_batch)
+        return new_state, metrics
+
+    def jitted_train_step(self):
+        return jax.jit(self.train_step, donate_argnums=(0,))
+
+
+def _episode_return_mean(rewards, dones):
+    """Mean return of episodes that finished during the rollout.
+
+    rewards/dones are [T, B]. Returns are accumulated per env along T and
+    emitted at done steps (auto-reset keeps boundaries inside the scan).
+    Episodes that started before the rollout window are truncated at the
+    window edge — acceptable for curve-level metrics.
+    """
+    def scan_fn(acc, inp):
+        r, d = inp
+        total = acc + r
+        emitted = jnp.where(d, total, 0.0)
+        acc = jnp.where(d, 0.0, total)
+        return acc, (emitted, d)
+
+    _, (emitted, d) = jax.lax.scan(
+        scan_fn, jnp.zeros_like(rewards[0]), (rewards, dones))
+    n = jnp.maximum(d.sum(), 1)
+    return emitted.sum() / n
