@@ -67,7 +67,9 @@ def reset(params: EnvParams, key) -> EnvState:
         pin_abs_x=inst["pin_abs_x"], pin_abs_y=inst["pin_abs_y"],
         pin_net=inst["pin_net"], pin_comp=inst["pin_comp"],
         pin_local=inst["pin_local"],
-        pin_rel_x0=inst["pin_rel_x"], pin_rel_y0=inst["pin_rel_y"],
+        # materialized copies: identical values, distinct buffers, so whole-
+        # state donation never sees the same buffer twice
+        pin_rel_x0=inst["pin_rel_x"] + 0, pin_rel_y0=inst["pin_rel_y"] + 0,
         num_nets=inst["num_nets"], num_pins=inst["num_pins"],
         done=jnp.asarray(False), steps=jnp.asarray(0, I32), key=key,
         info_wirelength=jnp.asarray(0.0, F32),

@@ -1,17 +1,22 @@
-"""Test configuration: force an 8-device virtual CPU mesh so sharding tests
-run without TPU hardware, per the multi-chip validation contract."""
+"""Test configuration: force an 8-device virtual CPU mesh so logic and
+sharding tests run deterministically without TPU hardware (the real chip is
+exercised by bench.py / __graft_entry__.py instead).
+
+Note: a pytest plugin imports jax before this conftest executes, so
+environment variables are too late — ``jax.config.update`` still works
+because the backend only initializes on first use.
+"""
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses
 
-# Persistent compilation cache: compile cost dominates test wall-clock on CPU.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      "/root/.cache/jax_test_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+# Persistent compilation cache: compile cost dominates test wall-clock.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
