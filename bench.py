@@ -1,0 +1,82 @@
+"""North-star benchmark: env-steps/s/chip, rectangular-pin env, 4096 boards.
+
+Steps the flagship rectangle_pin configuration (configs/
+rectangle_pin_model.json: 10x10 grid, five 2x2 components, 3 nets x 6 pins,
+centroid reward) under a random legal policy with auto-reset — the batched
+equivalent of the reference's random-policy rollout loop
+(agent/random/random_policy_rectangular_pin.py), which is the pure-env
+throughput the baseline targets (>= 100k env-steps/s/chip).
+
+Timing is honest: every step feeds an accumulated-reward scalar that is
+fetched to the host at the end, so asynchronous dispatch cannot hide
+execution.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_tpu_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import jax.numpy as jnp
+
+BASELINE = 100_000.0  # env-steps/s/chip target (BASELINE.md)
+
+
+def main():
+    from placement_tpu.agent.random_policy import random_action
+    from placement_tpu.env import core
+    from placement_tpu.utils.config import load_experiment
+
+    env_params, _, _ = load_experiment("rectangle_pin")
+    batch = 4096
+    inner = 200          # env steps fused per device call
+
+    def rollout_chunk(states, key, racc):
+        def one(carry, _):
+            states, key = carry
+            key, k = jax.random.split(key)
+            actions = random_action(k, env_params, states.action_mask)
+            states, reward, done, _ = jax.vmap(
+                lambda s, a: core.step_autoreset(env_params, s, a))(
+                states, actions)
+            return (states, key), reward.sum()
+
+        (states, key), r = jax.lax.scan(one, (states, key), None,
+                                        length=inner)
+        return states, key, racc + r.sum()
+
+    reset_b = jax.jit(jax.vmap(lambda k: core.reset(env_params, k)))
+    chunk = jax.jit(rollout_chunk)
+
+    key = jax.random.PRNGKey(0)
+    states = reset_b(jax.random.split(key, batch))
+    racc = jnp.zeros(())
+    # warmup + compile
+    states, key, racc = chunk(states, key, racc)
+    float(racc)
+
+    n_calls = 5
+    t0 = time.perf_counter()
+    for _ in range(n_calls):
+        states, key, racc = chunk(states, key, racc)
+    total_reward = float(racc)  # forces execution of every step
+    dt = time.perf_counter() - t0
+
+    steps = batch * inner * n_calls
+    n_chips = max(len(jax.devices()), 1)
+    steps_per_s_per_chip = steps / dt / n_chips
+    print(json.dumps({
+        "metric": "env_steps_per_sec_per_chip",
+        "value": round(steps_per_s_per_chip, 1),
+        "unit": "steps/s/chip (rectangle_pin, 4096 boards, auto-reset)",
+        "vs_baseline": round(steps_per_s_per_chip / BASELINE, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

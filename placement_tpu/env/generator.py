@@ -38,32 +38,59 @@ def _randint(key, lo, hi_inclusive, shape=()):
     return jax.random.randint(key, shape, lo, hi_inclusive + 1, dtype=I32)
 
 
-def _capped_multinomial(key, n_trials, probs, caps, max_trials: int):
-    """Sequential multinomial of ``n_trials`` draws over ``probs`` where bin i
-    may receive at most ``caps[i]`` draws (sample_truncated_multinomial,
-    dummy_env_rectangular_pin.py:258-295). ``n_trials`` may be traced;
-    ``max_trials`` is the static scan bound."""
+def _bincount(draws, n_bins, active):
+    """counts[i] = #{t : draws[t] == i and active[t]} without a scan."""
+    onehot = (draws[:, None] == jnp.arange(n_bins)[None, :]) & active[:, None]
+    return jnp.sum(onehot, axis=0).astype(I32)
 
-    def body(carry, trial_key):
-        counts, t = carry
-        open_bins = (counts < caps) & (probs > 0)
-        logits = jnp.where(open_bins, jnp.log(jnp.maximum(probs, 1e-30)), -jnp.inf)
-        draw = jax.random.categorical(trial_key, logits)
-        take = t < n_trials
-        counts = counts.at[draw].add(jnp.where(take, 1, 0))
-        return (counts, t + 1), None
 
-    counts0 = jnp.zeros_like(probs, dtype=I32)
-    (counts, _), _ = jax.lax.scan(
-        body, (counts0, jnp.asarray(0, I32)), jax.random.split(key, max_trials))
-    return counts
+def _waterfill(amount, capacity):
+    """Greedy in-order fill: distribute ``amount`` across bins bounded by
+    ``capacity`` (earlier bins first). Vectorized O(bins)."""
+    before = jnp.concatenate(
+        [jnp.zeros((1,), I32), jnp.cumsum(capacity)[:-1]])
+    return jnp.clip(amount - before, 0, capacity)
 
 
 def _multinomial(key, n_trials, probs, max_trials: int):
-    """Plain multinomial via categorical draws (np.random.multinomial at
-    allocate_pins_to_components_for_net:1237)."""
-    caps = jnp.full(probs.shape, max_trials, I32)
-    return _capped_multinomial(key, n_trials, probs, caps, max_trials)
+    """Multinomial via ``max_trials`` parallel categorical draws, the first
+    ``n_trials`` of which count (np.random.multinomial at
+    allocate_pins_to_components_for_net:1237). No sequential scan — all
+    draws issue as one batched op, which is what keeps auto-reset off the
+    critical path on TPU."""
+    logits = jnp.where(probs > 0, jnp.log(jnp.maximum(probs, 1e-30)),
+                       -jnp.inf)
+    draws = jax.random.categorical(key, logits, shape=(max_trials,))
+    active = jnp.arange(max_trials) < n_trials
+    return _bincount(draws, probs.shape[0], active)
+
+
+def _capped_multinomial(key, n_trials, probs, caps, max_trials: int):
+    """Multinomial with a per-bin cap (sample_truncated_multinomial,
+    dummy_env_rectangular_pin.py:258-295).
+
+    The reference truncates trial-by-trial (renormalizing after every draw).
+    Sequential draws would serialize the whole auto-reset path, so this uses
+    a small fixed number of fully-vectorized rounds — draw the remaining
+    trials uncapped, clip at the caps, repeat for the overflow — and a final
+    deterministic water-fill of any residue into open bins. Equal to the
+    reference's sampler whenever no cap binds (the overwhelmingly common
+    case); a mild redistribution-bias deviation otherwise.
+    """
+    counts = jnp.zeros_like(probs, dtype=I32)
+    for r in range(3):
+        k = jax.random.fold_in(key, r)
+        remaining = n_trials - jnp.sum(counts)
+        free = caps - counts
+        logits = jnp.where((free > 0) & (probs > 0),
+                           jnp.log(jnp.maximum(probs, 1e-30)), -jnp.inf)
+        draws = jax.random.categorical(k, logits, shape=(max_trials,))
+        active = jnp.arange(max_trials) < remaining
+        add = _bincount(draws, probs.shape[0], active)
+        counts = counts + jnp.minimum(add, free)
+    residue = n_trials - jnp.sum(counts)
+    counts = counts + _waterfill(residue, caps - counts)
+    return counts
 
 
 def generate_components(key, params: EnvParams):
@@ -129,7 +156,6 @@ def _allocate_pins_to_components(key, params: EnvParams, num_components,
     p = params.max_pins
     m_max = params.max_num_pins_per_net
     n_max = params.max_num_nets
-    rounds = 3  # reference's while-loop almost always completes in 1 round
 
     net_starts = jnp.concatenate(
         [jnp.zeros((1,), I32), jnp.cumsum(net_counts)[:-1]])
@@ -160,35 +186,28 @@ def _allocate_pins_to_components(key, params: EnvParams, num_components,
 
         in_top = jnp.arange(c) < k
 
-        def per_round(rcarry, rkey):
-            sspace, assigned, comp_of_rank, local_of_rank = rcarry
-            remaining = m - assigned
-            w = jnp.where(in_top, sspace.astype(jnp.float32), 0.0)
-            probs = w / jnp.maximum(jnp.sum(w), 1e-30)
-            counts = _multinomial(rkey, jnp.maximum(remaining, 0), probs, m_max)
-            counts = jnp.minimum(counts, sspace)           # capacity cap :1251
-            bounds = jnp.cumsum(counts)
-            ranks = jnp.arange(m_max)
-            rel = ranks - assigned                          # rank within round
-            slot = jnp.searchsorted(bounds, rel, side="right")
-            slot = jnp.clip(slot, 0, c - 1)
-            newly = (rel >= 0) & (rel < jnp.sum(counts)) & (ranks < m)
-            comp_of_rank = jnp.where(newly, order[slot], comp_of_rank)
-            local = rel - jnp.where(slot > 0, bounds[slot - 1], 0)
-            local_of_rank = jnp.where(newly, local, local_of_rank)
-            sspace = sspace - counts
-            assigned = assigned + jnp.sum(counts)
-            return (sspace, assigned, comp_of_rank, local_of_rank), None
+        # one vectorized multinomial round proportional to free space with
+        # capacity caps (:1237-1253), then a deterministic water-fill of any
+        # capped-out remainder into open slots (sorted order) — equivalent to
+        # the reference's redraw-loop whenever no cap binds.
+        w = jnp.where(in_top, sorted_space.astype(jnp.float32), 0.0)
+        probs = w / jnp.maximum(jnp.sum(w), 1e-30)
+        counts = _multinomial(net_key, m, probs, m_max)
+        counts = jnp.minimum(counts, sorted_space)         # capacity cap :1251
+        counts = counts + _waterfill(m - jnp.sum(counts),
+                                     sorted_space - counts)
 
-        comp_of_rank0 = jnp.full((m_max,), -1, I32)
-        local_of_rank0 = jnp.zeros((m_max,), I32)
-        (sorted_space_left, _, comp_of_rank, local_of_rank), _ = jax.lax.scan(
-            per_round,
-            (sorted_space, jnp.asarray(0, I32), comp_of_rank0, local_of_rank0),
-            jax.random.split(net_key, rounds))
+        bounds = jnp.cumsum(counts)
+        ranks = jnp.arange(m_max)
+        slot = jnp.clip(jnp.searchsorted(bounds, ranks, side="right"),
+                        0, c - 1)
+        valid_rank = ranks < m
+        comp_of_rank = jnp.where(valid_rank, order[slot], -1)
+        local = ranks - jnp.where(slot > 0, bounds[slot - 1], 0)
+        local_of_rank = jnp.where(valid_rank, local, 0)
 
         # write the consumed space back through the sort permutation
-        new_space = jnp.zeros_like(space).at[order].set(sorted_space_left)
+        new_space = jnp.zeros_like(space).at[order].set(sorted_space - counts)
         space = jnp.where(active, new_space, space)
         comp_of_rank = jnp.where(active, comp_of_rank, -1)
         return space, (comp_of_rank, local_of_rank)

@@ -1,0 +1,87 @@
+"""Device-mesh scale-out for the placement engine.
+
+The reference's only concurrency layer is Ray RLlib actors pinned to
+``local_mode=True`` (experiments/PPO/PPO.py:38) — i.e. no real parallelism.
+The TPU-native replacement (SURVEY §2.4): the env batch is the scaling axis.
+Boards shard over a 1-D ``dp`` mesh spanning all chips of a pod slice
+(multi-host via ``jax.distributed``); model parameters are replicated (the
+policy nets are KB-scale, so TP/PP would only add latency); the PPO loss
+reduces across the sharded batch, and GSPMD lowers those reductions to
+``psum`` collectives over ICI. One ``jit`` of the learner's train step with
+these shardings is the whole distribution story — no parameter server, no
+object store.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "dp"
+
+
+def initialize_distributed(coordinator: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Multi-host init (jax.distributed). No-op for single-process runs."""
+    if num_processes and num_processes > 1:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+
+
+def make_mesh(n_devices: Optional[int] = None) -> Mesh:
+    """1-D data-parallel mesh over the first ``n_devices`` devices."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (board) axis sharded across the mesh."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_learner(learner, mesh: Mesh):
+    """Wrap a PPOLearner's train step for the mesh.
+
+    Returns (shard_state_fn, train_step_fn): the former lays out a freshly
+    initialized TrainState (env batch sharded on ``dp``, everything else
+    replicated); the latter is the jitted data-parallel train step — XLA
+    inserts the cross-chip ``psum`` for gradient/metric reductions.
+    """
+    data = batch_sharding(mesh)
+    repl = replicated(mesh)
+
+    def place(state):
+        def put(x, shard):
+            return jax.device_put(x, shard)
+
+        env_states = jax.tree_util.tree_map(lambda x: put(x, data),
+                                            state.env_states)
+        rest = state.replace(env_states=env_states)
+        return rest.replace(
+            variables=jax.tree_util.tree_map(lambda x: put(x, repl),
+                                             state.variables),
+            opt_state=jax.tree_util.tree_map(lambda x: put(x, repl),
+                                             state.opt_state),
+            kl_coeff=put(state.kl_coeff, repl),
+            key=put(state.key, repl),
+            steps=put(state.steps, repl))
+
+    train_step = jax.jit(learner.train_step)
+    return place, train_step
+
+
+def shard_env_batch(mesh: Mesh, states):
+    """Shard a batched EnvState pytree's leading axis over the mesh."""
+    data = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, data), states)
