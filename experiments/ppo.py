@@ -1,0 +1,66 @@
+"""PPO training entry point.
+
+TPU-native equivalent of ``experiments/PPO/PPO.py`` in the reference: pick a
+model type, train with per-iteration checkpointing (keep 5), and — for pin
+model types — export deterministic rollouts and the config CSV afterwards
+(``experiments/PPO/PPO.py:27-54``). No Ray: the training loop is one jitted
+XLA program (see ``placement_tpu/agent/trainer.py``).
+
+    python experiments/ppo.py --type rectangle_pin --iterations 1
+"""
+
+import argparse
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), '..'))  # noqa: E402  (reference installs its env package; we shim instead)
+
+
+from placement_tpu.agent.ppo import PPOConfig
+from placement_tpu.agent.trainer import Trainer
+from placement_tpu.utils.config import MODEL_TYPES
+from placement_tpu.viz.rollout import generate_rollouts
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description="Train a PPO placement agent")
+    p.add_argument("--type", required=True, choices=sorted(MODEL_TYPES),
+                   help="model type (experiments/PPO/PPO.py:29-35)")
+    p.add_argument("--iterations", type=int, default=1,
+                   help="training iterations (reference default: 1)")
+    p.add_argument("--num-envs", type=int, default=128)
+    p.add_argument("--unroll-length", type=int, default=32)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--restore", type=str, default=None,
+                   help="run dir to restore the newest checkpoint from")
+    p.add_argument("--no-rollouts", action="store_true",
+                   help="skip post-training rollout export")
+    args = p.parse_args()
+
+    cfg = PPOConfig(num_envs=args.num_envs,
+                    unroll_length=args.unroll_length,
+                    minibatch_size=min(128, args.num_envs
+                                       * args.unroll_length))
+    trainer = Trainer(args.type, ppo_config=cfg)
+    state = None
+    if args.restore:
+        state = trainer.restore(run_dir=args.restore, seed=args.seed)
+
+    def report(it, row):
+        print(f"iter {it}: reward_mean={row.get('episode_reward_mean'):.4f} "
+              f"kl={row.get('kl', float('nan')):.5f}")
+
+    result = trainer.run(num_iterations=args.iterations, seed=args.seed,
+                         state=state, on_iteration=report)
+    print("run dir:", result.run_dir)
+
+    # rollout export for pin types only (experiments/PPO/PPO.py:49-54)
+    if not args.no_rollouts and "pin" in args.type:
+        generate_rollouts(trainer, state=result.state)
+        print("rollouts exported to", result.run_dir)
+    trainer.close()
+
+
+if __name__ == "__main__":
+    main()
