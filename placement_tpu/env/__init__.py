@@ -8,3 +8,4 @@ from placement_tpu.env.core import (  # noqa: F401
     step,
     step_autoreset,
 )
+from placement_tpu.env.gym_api import PlacementEnv, make  # noqa: F401
