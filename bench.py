@@ -29,26 +29,24 @@ BASELINE = 100_000.0  # env-steps/s/chip target (BASELINE.md)
 
 def main():
     from placement_tpu.agent.random_policy import random_action
-    from placement_tpu.env import core
+    from placement_tpu.env import core, pooled
     from placement_tpu.utils.config import load_experiment
 
     env_params, _, _ = load_experiment("rectangle_pin")
     batch = 4096
     inner = 200          # env steps fused per device call
 
-    def rollout_chunk(states, key, racc):
-        def one(carry, _):
-            states, key = carry
-            key, k = jax.random.split(key)
-            actions = random_action(k, env_params, states.action_mask)
-            states, reward, done, _ = jax.vmap(
-                lambda s, a: core.step_autoreset(env_params, s, a))(
-                states, actions)
-            return (states, key), reward.sum()
+    # Pooled auto-reset (placement_tpu/env/pooled.py): the chunk draws its
+    # own fresh-instance pool inside the timed call, so generation cost is
+    # fully included in steady-state throughput. Flagship episodes are 5
+    # legal placements, so inner/5 resets per board; +20% wrap headroom.
+    pool_size = inner // 5 + 8
+    pooled_chunk = pooled.rollout_chunk(env_params, random_action, inner,
+                                        pool_size)
 
-        (states, key), r = jax.lax.scan(one, (states, key), None,
-                                        length=inner)
-        return states, key, racc + r.sum()
+    def rollout_chunk(states, key, racc):
+        states, key, r, _ = pooled_chunk(states, key)
+        return states, key, racc + r
 
     reset_b = jax.jit(jax.vmap(lambda k: core.reset(env_params, k)))
     chunk = jax.jit(rollout_chunk)

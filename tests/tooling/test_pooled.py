@@ -1,0 +1,91 @@
+"""Pooled auto-reset parity: step_autoreset_pooled must match the semantics
+of core.step_autoreset — identical transition for live boards, a fresh
+independently-keyed instance for done boards — with the generator amortized
+into one pool call per chunk (PERF_NOTES.md lever #2)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from placement_tpu.agent.random_policy import random_action
+from placement_tpu.env import core, pooled
+from placement_tpu.env.types import EnvParams, Variant
+
+PARAMS = EnvParams(variant=Variant.PIN).validate()
+
+
+@jax.jit
+def _reset8(keys):
+    return jax.vmap(lambda k: core.reset(PARAMS, k))(keys)
+
+
+def _reset_batch(key, batch):
+    return jax.vmap(lambda k: core.reset(PARAMS, k))(
+        jax.random.split(key, batch))
+
+
+_step_plain = jax.jit(jax.vmap(lambda s, a: core.step(PARAMS, s, a)))
+_step_pooled = jax.jit(
+    lambda s, a, p, c: pooled.step_autoreset_pooled(PARAMS, s, a, p, c))
+
+
+def test_pooled_step_matches_plain_step_until_done():
+    batch, k = 8, jax.random.PRNGKey(0)
+    states = _reset_batch(k, batch)
+    pool = pooled.make_pool(PARAMS, jax.random.PRNGKey(1), 4, batch)
+    counts = jnp.zeros((batch,), jnp.int32)
+
+    key = jax.random.PRNGKey(2)
+    for _ in range(3):  # flagship episodes last 5 steps; stay pre-terminal
+        key, kk = jax.random.split(key)
+        actions = random_action(kk, PARAMS, states.action_mask)
+        plain, r_plain, d_plain, _ = _step_plain(states, actions)
+        states, counts, r_pool, d_pool, _ = _step_pooled(
+            states, actions, pool, counts)
+        np.testing.assert_array_equal(np.asarray(r_plain), np.asarray(r_pool))
+        np.testing.assert_array_equal(np.asarray(d_plain), np.asarray(d_pool))
+        assert not bool(jnp.any(d_pool))
+        np.testing.assert_array_equal(
+            np.asarray(plain.grid), np.asarray(states.grid))
+    assert int(counts.sum()) == 0
+
+
+def test_done_board_becomes_next_pool_entry():
+    batch, k = 4, jax.random.PRNGKey(3)
+    states = _reset_batch(k, batch)
+    pool = pooled.make_pool(PARAMS, jax.random.PRNGKey(4), 3, batch)
+    counts = jnp.zeros((batch,), jnp.int32)
+
+    key = jax.random.PRNGKey(5)
+    done_seen = jnp.zeros((batch,), bool)
+    for step_i in range(6):
+        key, kk = jax.random.split(key)
+        actions = random_action(kk, PARAMS, states.action_mask)
+        prev_counts = counts
+        states, counts, _, done, _ = _step_pooled(
+            states, actions, pool, counts)
+        for b in np.argwhere(np.asarray(done)).ravel():
+            entry = jax.tree_util.tree_map(
+                lambda x, b=b, i=int(prev_counts[b]) % 3: x[i, b], pool)
+            np.testing.assert_array_equal(
+                np.asarray(states.grid[b]), np.asarray(entry.grid))
+            np.testing.assert_array_equal(
+                np.asarray(states.comp_h[b]), np.asarray(entry.comp_h))
+            assert int(states.cursor[b]) == 0
+        done_seen = done_seen | done
+    # flagship config: every board finishes within 5 legal steps
+    assert bool(done_seen.all())
+    np.testing.assert_array_equal(np.asarray(counts >= 1),
+                                  np.ones(batch, bool))
+
+
+def test_rollout_chunk_throughput_semantics():
+    """Pooled rollout chunk: reward sum finite, done count == chunk/5 * batch
+    for the flagship config (episodes are exactly 5 legal placements)."""
+    batch, chunk = 8, 10
+    states = _reset_batch(jax.random.PRNGKey(6), batch)
+    fn = jax.jit(pooled.rollout_chunk(PARAMS, random_action, chunk,
+                                      pool_size=4))
+    states, _, r, d = fn(states, jax.random.PRNGKey(7))
+    assert np.isfinite(float(r))
+    assert int(d) == batch * chunk // 5
