@@ -4,18 +4,29 @@ Steps the flagship rectangle_pin configuration (configs/
 rectangle_pin_model.json: 10x10 grid, five 2x2 components, 3 nets x 6 pins,
 centroid reward) under a random legal policy with auto-reset — the batched
 equivalent of the reference's random-policy rollout loop
-(agent/random/random_policy_rectangular_pin.py), which is the pure-env
+(agent/random/random_policy_rectangular_pin.py:25-59), which is the pure-env
 throughput the baseline targets (>= 100k env-steps/s/chip).
 
 Timing is honest: every step feeds an accumulated-reward scalar that is
 fetched to the host at the end, so asynchronous dispatch cannot hide
 execution.
 
+Wall-clock discipline (round-1 postmortem: BENCH_r01.json timed out): the
+dominant cold-start costs on this platform are XLA compile (~25 s) and the
+first execution of the chunk, which blows up super-linearly with the reset
+pool size (pool=48: ~90 s first call; pool=12: <2 s). So the chunk is kept
+small (50 steps, 12-entry pool) and the number of timed calls adapts to a
+wall-clock budget (BENCH_BUDGET_S, default 420 s) so a result always prints.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
+
+T_START = time.monotonic()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "420"))
 
 import jax
 
@@ -34,13 +45,13 @@ def main():
 
     env_params, _, _ = load_experiment("rectangle_pin")
     batch = 4096
-    inner = 200          # env steps fused per device call
+    inner = 50           # env steps fused per device call
 
     # Pooled auto-reset (placement_tpu/env/pooled.py): the chunk draws its
     # own fresh-instance pool inside the timed call, so generation cost is
     # fully included in steady-state throughput. Flagship episodes are 5
-    # legal placements, so inner/5 resets per board; +20% wrap headroom.
-    pool_size = inner // 5 + 8
+    # legal placements, so inner/5 resets per board; +2 wrap headroom.
+    pool_size = inner // 5 + 2
     pooled_chunk = pooled.rollout_chunk(env_params, random_action, inner,
                                         pool_size)
 
@@ -58,11 +69,18 @@ def main():
     states, key, racc = chunk(states, key, racc)
     float(racc)
 
-    n_calls = 5
+    # one measured call to calibrate, then as many as fit the budget
+    t0 = time.perf_counter()
+    states, key, racc = chunk(states, key, racc)
+    float(racc)
+    per_call = time.perf_counter() - t0
+    remaining = BUDGET_S - (time.monotonic() - T_START)
+    n_calls = max(2, min(40, int(remaining * 0.5 / max(per_call, 1e-3))))
+
     t0 = time.perf_counter()
     for _ in range(n_calls):
         states, key, racc = chunk(states, key, racc)
-    total_reward = float(racc)  # forces execution of every step
+    float(racc)  # forces execution of every step
     dt = time.perf_counter() - t0
 
     steps = batch * inner * n_calls

@@ -305,8 +305,26 @@ def generate_instance(key, params: EnvParams):
 
     if params.variant == Variant.PIN_SPATIAL:
         # Spatial env keeps the global creation index as pin_id
-        # (dummy_env_rectangular_pin_spatial.py drops the per-chunk rewrite).
-        pin_local = jnp.where(pin_net >= 0, jnp.arange(p, dtype=I32), 0)
+        # (dummy_env_rectangular_pin_spatial.py drops the per-chunk rewrite
+        # of allocate_pins_to_components_for_net). Creation order is NOT
+        # table order when extras exist: generate_pins creates the base
+        # block (min_ppn per net, net-grouped) first, then extras appended
+        # net-by-net (allocate_pins_to_nets:1096-1127), whereas the table is
+        # per-net base+extras contiguous.
+        min_ppn = params.min_num_pins_per_net
+        extras = jnp.maximum(net_counts - min_ppn, 0)
+        extras_before = jnp.concatenate(
+            [jnp.zeros((1,), I32), jnp.cumsum(extras)[:-1]])
+        net_starts = jnp.concatenate(
+            [jnp.zeros((1,), I32), jnp.cumsum(net_counts)[:-1]])
+        slots = jnp.arange(p, dtype=I32)
+        safe_net = jnp.clip(pin_net, 0, params.max_num_nets - 1)
+        rank = slots - net_starts[safe_net]
+        creation = jnp.where(
+            rank < min_ppn,
+            safe_net * min_ppn + rank,
+            num_nets * min_ppn + extras_before[safe_net] + rank - min_ppn)
+        pin_local = jnp.where(pin_net >= 0, creation, 0)
     else:
         pin_local = pin_chunk_local
 

@@ -26,6 +26,15 @@ F32 = jnp.float32
 BIG = jnp.float32(1e9)
 
 
+def _flt():
+    """Internal float dtype: float64 when x64 is enabled (the parity suite
+    runs under ``jax.experimental.enable_x64`` so distance/centroid rounding
+    — including the reference's f64 tie-breaking noise in ``pin_outlier``,
+    np.linalg.norm at :1336-1339 — matches NumPy bit-for-bit), float32 in
+    production where TPUs have no native f64."""
+    return jax.dtypes.canonicalize_dtype(jnp.float64)
+
+
 def net_pin_table(params: EnvParams, pin_abs_x, pin_abs_y, pin_net):
     """Scatter the flat pin table into per-net position tensors.
 
@@ -43,9 +52,10 @@ def net_pin_table(params: EnvParams, pin_abs_x, pin_abs_y, pin_net):
     net_idx = jnp.where(valid, pin_net, n)        # overflow row for padding
     rank = jnp.where(valid, jnp.clip(rank, 0, m - 1), m)
 
-    pos = jnp.zeros((n + 1, m + 1, 2), F32)
-    pos = pos.at[net_idx, rank, 0].set(pin_abs_x.astype(F32))
-    pos = pos.at[net_idx, rank, 1].set(pin_abs_y.astype(F32))
+    flt = _flt()
+    pos = jnp.zeros((n + 1, m + 1, 2), flt)
+    pos = pos.at[net_idx, rank, 0].set(pin_abs_x.astype(flt))
+    pos = pos.at[net_idx, rank, 1].set(pin_abs_y.astype(flt))
     mask = jnp.zeros((n + 1, m + 1), bool).at[net_idx, rank].set(valid)
     counts = jnp.sum(mask[:n, :m], axis=1)
     return pos[:n, :m], mask[:n, :m], counts
@@ -63,7 +73,7 @@ def centroid_route(pos, mask):
     """
     counts = jnp.sum(mask, axis=1)
     csum = jnp.sum(jnp.where(mask[..., None], pos, 0.0), axis=1)
-    centroid = csum / jnp.maximum(counts, 1)[:, None].astype(F32)
+    centroid = csum / jnp.maximum(counts, 1)[:, None].astype(pos.dtype)
 
     # star segments pin -> centroid
     star = jnp.concatenate(
@@ -121,7 +131,7 @@ def beam_search_net(pos, mask, beam_width: int, start):
     path_keys = jnp.full((bw, m), -1.0, F32).at[:, 0].set(pkeys[start])
     visited = jnp.zeros((bw, m), bool).at[:, start].set(True)
     visited = visited | ~mask[None, :]
-    cost = jnp.where(jnp.arange(bw) == 0, 0.0, BIG)   # only beam 0 alive
+    cost = jnp.where(jnp.arange(bw) == 0, 0.0, BIG).astype(pos.dtype)
     current = jnp.full((bw,), start, jnp.int32)
 
     def round_(state, step):
@@ -132,7 +142,7 @@ def beam_search_net(pos, mask, beam_width: int, start):
         d = jnp.where(visited, BIG, d)
         # stable sort => equal distances break by pin index, like sorted()
         nbr_order = jnp.argsort(d, axis=1, stable=True)    # [bw, m]
-        nbr = nbr_order[:, :bw]                            # [bw, bw]
+        nbr = nbr_order[:, :bw].astype(jnp.int32)          # [bw, bw]
         nbr_d = jnp.take_along_axis(d, nbr, axis=1)
 
         # candidate paths [bw*bw, m]
@@ -144,7 +154,7 @@ def beam_search_net(pos, mask, beam_width: int, start):
         cand_paths = paths[cand_parent].at[rows, cols].set(cand_pin)
         cand_keys = path_keys[cand_parent].at[rows, cols].set(pkeys[cand_pin])
         cand_dead = cand_cost >= BIG
-        cand_cost = jnp.where(cand_dead, BIG, cand_cost)
+        cand_cost = jnp.where(cand_dead, BIG, cand_cost).astype(pos.dtype)
 
         keep = _heap_order(cand_cost, cand_keys)[:bw]
 
@@ -177,7 +187,7 @@ def pin_outlier_index(pos, mask):
     np.argmax => first max wins ties)."""
     count = jnp.sum(mask)
     centroid = (jnp.sum(jnp.where(mask[:, None], pos, 0.0), axis=0)
-                / jnp.maximum(count, 1).astype(F32))
+                / jnp.maximum(count, 1).astype(pos.dtype))
     d = jnp.where(mask, jnp.linalg.norm(pos - centroid, axis=1), -1.0)
     return jnp.argmax(d)
 

@@ -155,3 +155,42 @@ def test_generated_reset_roundtrip():
     n = int(s.num_components)
     cg = np.asarray(obs["component_grid"])
     assert cg[:n, :, :, 0].all()
+
+
+def test_spatial_pin_local_is_creation_index():
+    """Spatial pins keep their creation-order pin_id: base block (min_ppn per
+    net, net-grouped) first, extras appended per net afterwards
+    (generate_pins:977-981, allocate_pins_to_nets:1096-1127; the spatial env
+    drops the pin env's per-chunk pin_id rewrite)."""
+    params = EnvParams(
+        variant=Variant.PIN_SPATIAL, height=10, width=10,
+        net_distribution=2, pin_spread=2,
+        min_component_w=2, max_component_w=3,
+        min_component_h=2, max_component_h=3,
+        max_num_components=5, min_num_components=4,
+        min_num_nets=2, max_num_nets=3,
+        min_num_pins_per_net=2, max_num_pins_per_net=5)  # extras occur
+    reset_j, _, _ = make_jitted(params)
+    min_ppn = params.min_num_pins_per_net
+    saw_extras = False
+    for seed in range(20):
+        s = reset_j(jax.random.PRNGKey(seed))
+        net = np.asarray(s.pin_net)
+        local = np.asarray(s.pin_local)
+        num_nets = int(s.num_nets)
+        num_pins = int(s.num_pins)
+        valid = net >= 0
+        # ids are a permutation of range(num_pins)
+        assert sorted(local[valid].tolist()) == list(range(num_pins))
+        counts = [int((net == n).sum()) for n in range(num_nets)]
+        saw_extras |= any(c > min_ppn for c in counts)
+        extras_before = 0
+        pos = 0
+        for n in range(num_nets):
+            for r in range(counts[n]):
+                expect = (n * min_ppn + r if r < min_ppn else
+                          num_nets * min_ppn + extras_before + r - min_ppn)
+                assert local[pos] == expect, (seed, n, r)
+                pos += 1
+            extras_before += max(counts[n] - min_ppn, 0)
+    assert saw_extras  # config must actually exercise the extras path
