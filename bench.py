@@ -7,26 +7,43 @@ equivalent of the reference's random-policy rollout loop
 (agent/random/random_policy_rectangular_pin.py:25-59), which is the pure-env
 throughput the baseline targets (>= 100k env-steps/s/chip).
 
-Timing is honest: every step feeds an accumulated-reward scalar that is
-fetched to the host at the end, so asynchronous dispatch cannot hide
-execution.
+Two implementations are timed and the better one reported:
+  1. the single-kernel Pallas rollout (ops/fused_rollout.py — action
+     sampling, placement, centroid reward, and in-kernel instance
+     regeneration fused into ONE kernel; ~12M steps/s/chip), and
+  2. the pure-JAX pooled-auto-reset path (env/pooled.py; ~500k steps/s/chip),
+     exercised only if wall-clock budget remains.
 
-Wall-clock discipline (round-1 postmortem: BENCH_r01.json timed out): the
-dominant cold-start costs on this platform are XLA compile (~25 s) and the
-first execution of the chunk, which blows up super-linearly with the reset
-pool size (pool=48: ~90 s first call; pool=12: <2 s). So the chunk is kept
-small (50 steps, 12-entry pool) and the number of timed calls adapts to a
-wall-clock budget (BENCH_BUDGET_S, default 420 s) so a result always prints.
+Timing is honest: every chunk's output feeds the next chunk's input and an
+accumulated-reward scalar is fetched to the host at the end, so asynchronous
+dispatch cannot hide execution.
+
+Wall-clock discipline (round-1 postmortem: BENCH_r01.json timed out; the
+round-2 rewrite once timed out again when a single XLA compile of the
+batched reset took ~2 min on this platform): no separate reset program is
+compiled at all — boards start as all-done dummy states that the first
+(untimed) chunk replaces with generated instances — and a SIGALRM watchdog
+prints the best result measured so far just before the budget
+(BENCH_BUDGET_S, default 400 s) expires, so a completed measurement is
+never lost to a slow later phase.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
 import os
+import signal
+import sys
 import time
 
 T_START = time.monotonic()
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "420"))
+
+
+def _note(msg):
+    """Phase timestamps on stderr (the driver parses stdout only)."""
+    print(f"[bench +{time.monotonic() - T_START:.0f}s] {msg}",
+          file=sys.stderr, flush=True)
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "400"))
 
 import jax
 
@@ -36,62 +53,125 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 import jax.numpy as jnp
 
 BASELINE = 100_000.0  # env-steps/s/chip target (BASELINE.md)
+BATCH = 4096
+RESULTS = {}
+
+
+def _remaining():
+    return BUDGET_S - (time.monotonic() - T_START)
+
+
+def _emit_and_exit():
+    best = {k: v for k, v in RESULTS.items() if v}
+    if not best:
+        os._exit(3)  # nothing measured; rc!=0 signals a real failure
+    best_name, val = max(best.items(), key=lambda kv: kv[1])
+    n_chips = max(len(jax.devices()), 1)
+    per_chip = val / n_chips
+    print(json.dumps({
+        "metric": "env_steps_per_sec_per_chip",
+        "value": round(per_chip, 1),
+        "unit": (f"steps/s/chip (rectangle_pin, 4096 boards, auto-reset, "
+                 f"best of {sorted(RESULTS)}: {best_name})"),
+        "vs_baseline": round(per_chip / BASELINE, 3),
+    }), flush=True)
+    os._exit(0)
+
+
+def _arm_watchdog():
+    signal.signal(signal.SIGALRM, lambda *_: _emit_and_exit())
+    signal.alarm(max(int(_remaining()) - 15, 20))
+
+
+def _dummy_states(env_params, batch):
+    """All-done zero states (no generator compile): the first step of any
+    auto-reset path replaces every board with a generated instance."""
+    from placement_tpu.env import core
+    shapes = jax.eval_shape(lambda k: core.reset(env_params, k),
+                            jax.random.PRNGKey(0))
+    states = jax.tree_util.tree_map(
+        lambda s: jnp.zeros((batch,) + s.shape, s.dtype), shapes)
+    return states.replace(done=jnp.ones((batch,), bool))
+
+
+def _throughput(call, state, steps_per_call, budget_frac=0.4):
+    """Calibrate with one fetched call, then time as many as fit."""
+    t0 = time.perf_counter()
+    state, racc = call(state, jnp.zeros(()))
+    float(racc)
+    per_call = time.perf_counter() - t0
+    n_calls = max(2, min(40, int(max(_remaining(), 5.0) * budget_frac
+                                 / max(per_call, 1e-4))))
+    racc = jnp.zeros(())
+    t0 = time.perf_counter()
+    for _ in range(n_calls):
+        state, racc = call(state, racc)
+    float(racc)  # forces execution of every chained step
+    dt = time.perf_counter() - t0
+    return BATCH * steps_per_call * n_calls / dt
+
+
+def bench_fused(env_params, states):
+    from placement_tpu.ops import fused_rollout
+    if not fused_rollout.supports(env_params):
+        return None
+    inner = 50
+    leaves = fused_rollout.leaves_from_states(env_params, states)
+    fn = jax.jit(fused_rollout.make_fused_rollout(
+        env_params, BATCH, inner, block=128))
+
+    def call(state, racc):
+        leaves, counter = state
+        leaves, rsum, _ = fn(leaves, counter)
+        return (leaves, counter + 1), racc + rsum
+
+    state = ((leaves, jnp.asarray(1, jnp.int32)))
+    state, racc = call(state, jnp.zeros(()))   # warmup + compile + regen
+    float(racc)
+    return _throughput(call, state, inner)
+
+
+def bench_pooled(env_params, states):
+    from placement_tpu.agent.random_policy import random_action
+    from placement_tpu.env import pooled
+    inner = 50
+    pool_size = inner // 5 + 2
+    chunk = jax.jit(pooled.rollout_chunk(env_params, random_action, inner,
+                                         pool_size))
+
+    def call(state, racc):
+        states, key = state
+        states, key, r, _, _ = chunk(states, key)
+        return (states, key), racc + r
+
+    state = (states, jax.random.PRNGKey(7))
+    state, racc = call(state, jnp.zeros(()))   # warmup + compile + regen
+    float(racc)
+    return _throughput(call, state, inner)
 
 
 def main():
-    from placement_tpu.agent.random_policy import random_action
-    from placement_tpu.env import core, pooled
     from placement_tpu.utils.config import load_experiment
 
+    _arm_watchdog()
     env_params, _, _ = load_experiment("rectangle_pin")
-    batch = 4096
-    inner = 50           # env steps fused per device call
+    states = _dummy_states(env_params, BATCH)
+    _note(f"devices={jax.devices()}; starting fused path")
 
-    # Pooled auto-reset (placement_tpu/env/pooled.py): the chunk draws its
-    # own fresh-instance pool inside the timed call, so generation cost is
-    # fully included in steady-state throughput. Flagship episodes are 5
-    # legal placements, so inner/5 resets per board; +2 wrap headroom.
-    pool_size = inner // 5 + 2
-    pooled_chunk = pooled.rollout_chunk(env_params, random_action, inner,
-                                        pool_size)
-
-    def rollout_chunk(states, key, racc):
-        states, key, r, _ = pooled_chunk(states, key)
-        return states, key, racc + r
-
-    reset_b = jax.jit(jax.vmap(lambda k: core.reset(env_params, k)))
-    chunk = jax.jit(rollout_chunk)
-
-    key = jax.random.PRNGKey(0)
-    states = reset_b(jax.random.split(key, batch))
-    racc = jnp.zeros(())
-    # warmup + compile
-    states, key, racc = chunk(states, key, racc)
-    float(racc)
-
-    # one measured call to calibrate, then as many as fit the budget
-    t0 = time.perf_counter()
-    states, key, racc = chunk(states, key, racc)
-    float(racc)
-    per_call = time.perf_counter() - t0
-    remaining = BUDGET_S - (time.monotonic() - T_START)
-    n_calls = max(2, min(40, int(remaining * 0.5 / max(per_call, 1e-3))))
-
-    t0 = time.perf_counter()
-    for _ in range(n_calls):
-        states, key, racc = chunk(states, key, racc)
-    float(racc)  # forces execution of every step
-    dt = time.perf_counter() - t0
-
-    steps = batch * inner * n_calls
-    n_chips = max(len(jax.devices()), 1)
-    steps_per_s_per_chip = steps / dt / n_chips
-    print(json.dumps({
-        "metric": "env_steps_per_sec_per_chip",
-        "value": round(steps_per_s_per_chip, 1),
-        "unit": "steps/s/chip (rectangle_pin, 4096 boards, auto-reset)",
-        "vs_baseline": round(steps_per_s_per_chip / BASELINE, 3),
-    }))
+    try:
+        RESULTS["fused_pallas"] = bench_fused(env_params, states)
+    except Exception as e:
+        _note(f"fused path failed: {type(e).__name__}")
+        RESULTS["fused_pallas"] = None
+    _note(f"fused done: {RESULTS.get('fused_pallas')}")
+    if _remaining() > 150 or not RESULTS.get("fused_pallas"):
+        try:
+            RESULTS["pooled_jax"] = bench_pooled(env_params, states)
+        except Exception as e:
+            _note(f"pooled path failed: {type(e).__name__}")
+            RESULTS["pooled_jax"] = None
+        _note(f"pooled done: {RESULTS.get('pooled_jax')}")
+    _emit_and_exit()
 
 
 if __name__ == "__main__":

@@ -59,6 +59,12 @@ class TrainState(struct.PyTreeNode):
     env_states: EnvState             # batched [num_envs]
     key: jnp.ndarray
     steps: jnp.ndarray
+    # Per-env episode accumulators carried ACROSS rollout windows so
+    # episode_reward_mean reports full completed-episode returns like RLlib
+    # (episodes longer than unroll_length would otherwise be truncated at
+    # the window edge).
+    ep_return_acc: jnp.ndarray       # f32[num_envs]
+    ep_len_acc: jnp.ndarray          # i32[num_envs]
 
 
 class Transition(NamedTuple):
@@ -102,7 +108,9 @@ class PPOLearner:
             variables=variables, opt_state=opt_state,
             kl_coeff=jnp.asarray(self.cfg.kl_coeff, jnp.float32),
             env_states=env_states, key=k_run,
-            steps=jnp.asarray(0, jnp.int32))
+            steps=jnp.asarray(0, jnp.int32),
+            ep_return_acc=jnp.zeros((self.cfg.num_envs,), jnp.float32),
+            ep_len_acc=jnp.zeros((self.cfg.num_envs,), jnp.int32))
 
     # -- rollout -----------------------------------------------------------
 
@@ -110,7 +118,7 @@ class PPOLearner:
         env_params = self.env_params
 
         def step_fn(carry, _):
-            env_states, key = carry
+            env_states, key, ret_acc, len_acc = carry
             key, k_act = jax.random.split(key)
             obs = jax.vmap(lambda s: core.observe(env_params, s))(env_states)
             action, logp, value, dist_inputs = self.policy.act(
@@ -121,24 +129,33 @@ class PPOLearner:
             tr = Transition(obs=obs, action=action, logp=logp, value=value,
                             reward=reward, done=done,
                             dist_inputs=dist_inputs)
+            ret_total = ret_acc + reward
+            len_total = len_acc + 1
             metrics = {
                 "done": done, "reward": reward,
+                # full-episode return/length, emitted at episode end
+                "ep_return": jnp.where(done, ret_total, 0.0),
+                "ep_len": jnp.where(done, len_total, 0),
                 "wirelength": info.get("wirelength", jnp.zeros_like(reward)),
                 "intersections": info.get("num_intersections",
                                           jnp.zeros_like(reward)),
             }
-            return (next_states, key), (tr, metrics)
+            ret_acc = jnp.where(done, 0.0, ret_total)
+            len_acc = jnp.where(done, 0, len_total)
+            return (next_states, key, ret_acc, len_acc), (tr, metrics)
 
         key, k_roll = jax.random.split(state.key)
-        (env_states, _), (traj, metrics) = jax.lax.scan(
-            step_fn, (state.env_states, k_roll), None,
-            length=self.cfg.unroll_length)
+        (env_states, _, ret_acc, len_acc), (traj, metrics) = jax.lax.scan(
+            step_fn,
+            (state.env_states, k_roll, state.ep_return_acc, state.ep_len_acc),
+            None, length=self.cfg.unroll_length)
         # bootstrap value for the final observation
         obs = jax.vmap(lambda s: core.observe(env_params, s))(env_states)
         out = self.policy.model.apply(state.variables, obs, train=False)
         last_value = out["value"]
-        return state.replace(env_states=env_states, key=key), traj, \
-            last_value, metrics
+        new_state = state.replace(env_states=env_states, key=key,
+                                  ep_return_acc=ret_acc, ep_len_acc=len_acc)
+        return new_state, traj, last_value, metrics
 
     # -- GAE (Postprocessing.compute_gae_for_sample_batch) ------------------
 
@@ -260,8 +277,11 @@ class PPOLearner:
             "entropy": aux["entropy"].mean(),
             "kl": mean_kl,
             "kl_coeff": kl_coeff,
-            "episode_reward_mean": _episode_return_mean(
-                roll_metrics["reward"], done),
+            # full completed-episode returns (accumulators carried across
+            # rollout windows in TrainState — no window-edge truncation)
+            "episode_reward_mean": roll_metrics["ep_return"].sum() / n_done,
+            "episode_len_mean":
+                roll_metrics["ep_len"].sum() / n_done,
             "episodes_this_iter": done.sum(),
             # custom metrics parity (utils/agent/callbacks.py:35-42)
             "normalized_wirelengths_mean":
@@ -276,24 +296,3 @@ class PPOLearner:
 
     def jitted_train_step(self):
         return jax.jit(self.train_step, donate_argnums=(0,))
-
-
-def _episode_return_mean(rewards, dones):
-    """Mean return of episodes that finished during the rollout.
-
-    rewards/dones are [T, B]. Returns are accumulated per env along T and
-    emitted at done steps (auto-reset keeps boundaries inside the scan).
-    Episodes that started before the rollout window are truncated at the
-    window edge — acceptable for curve-level metrics.
-    """
-    def scan_fn(acc, inp):
-        r, d = inp
-        total = acc + r
-        emitted = jnp.where(d, total, 0.0)
-        acc = jnp.where(d, 0.0, total)
-        return acc, (emitted, d)
-
-    _, (emitted, d) = jax.lax.scan(
-        scan_fn, jnp.zeros_like(rewards[0]), (rewards, dones))
-    n = jnp.maximum(d.sum(), 1)
-    return emitted.sum() / n

@@ -65,6 +65,32 @@ def _multinomial(key, n_trials, probs, max_trials: int):
     return _bincount(draws, probs.shape[0], active)
 
 
+def _capped_multinomial_exact(key, n_trials, probs, caps, max_trials: int):
+    """Per-trial renormalizing truncated multinomial — the exact PROCESS of
+    the reference's ``sample_truncated_multinomial``
+    (dummy_env_rectangular_pin.py:258-295): each trial draws one categorical
+    with bins at their cap masked out (renormalization is implicit in the
+    categorical). Identical distribution to the reference (the RNG stream
+    differs; byte-level stream parity lives in env/compat.py). Sequential by
+    construction — a ``lax.scan`` of ``max_trials`` draws — so it costs
+    ~max_trials tiny kernels per reset; select with
+    ``EnvParams.exact_sampling`` when fidelity in cap-bound regimes matters
+    more than throughput."""
+    def trial(counts, k):
+        open_bin = (counts < caps) & (probs > 0)
+        logits = jnp.where(open_bin, jnp.log(jnp.maximum(probs, 1e-30)),
+                           -jnp.inf)
+        draw = jax.random.categorical(k, logits)
+        t = jnp.sum(counts)  # trials completed so far
+        add = ((jnp.arange(probs.shape[0]) == draw) & (t < n_trials)
+               & jnp.any(open_bin))
+        return counts + add.astype(I32), None
+
+    counts, _ = jax.lax.scan(trial, jnp.zeros_like(probs, dtype=I32),
+                             jax.random.split(key, max_trials))
+    return counts
+
+
 def _capped_multinomial(key, n_trials, probs, caps, max_trials: int):
     """Multinomial with a per-bin cap (sample_truncated_multinomial,
     dummy_env_rectangular_pin.py:258-295).
@@ -129,7 +155,9 @@ def _allocate_pins_to_nets(key, params: EnvParams, num_nets, total_pins):
         caps = jnp.where(net_open, cap_each, 0)
         max_extra = (params.max_num_pins_per_net
                      - params.min_num_pins_per_net) * n_max
-        extra = _capped_multinomial(
+        sampler = (_capped_multinomial_exact if params.exact_sampling
+                   else _capped_multinomial)
+        extra = sampler(
             k_multi, jnp.maximum(extra_total, 0), probs, caps, max_extra)
     else:
         extra = jnp.zeros((n_max,), I32)
@@ -186,25 +214,73 @@ def _allocate_pins_to_components(key, params: EnvParams, num_components,
 
         in_top = jnp.arange(c) < k
 
-        # one vectorized multinomial round proportional to free space with
-        # capacity caps (:1237-1253), then a deterministic water-fill of any
-        # capped-out remainder into open slots (sorted order) — equivalent to
-        # the reference's redraw-loop whenever no cap binds.
-        w = jnp.where(in_top, sorted_space.astype(jnp.float32), 0.0)
-        probs = w / jnp.maximum(jnp.sum(w), 1e-30)
-        counts = _multinomial(net_key, m, probs, m_max)
-        counts = jnp.minimum(counts, sorted_space)         # capacity cap :1251
-        counts = counts + _waterfill(m - jnp.sum(counts),
-                                     sorted_space - counts)
+        if params.exact_sampling:
+            # Reference process exactly: redraw a full multinomial over the
+            # REMAINING pins each round with probabilities proportional to
+            # the top-k components' CURRENT free space, clip at capacity,
+            # assign in component order, repeat until done
+            # (allocate_pins_to_components_for_net:1176-1264).
+            def round_cond(st):
+                return st[0] > 0
 
-        bounds = jnp.cumsum(counts)
-        ranks = jnp.arange(m_max)
-        slot = jnp.clip(jnp.searchsorted(bounds, ranks, side="right"),
-                        0, c - 1)
-        valid_rank = ranks < m
-        comp_of_rank = jnp.where(valid_rank, order[slot], -1)
-        local = ranks - jnp.where(slot > 0, bounds[slot - 1], 0)
-        local_of_rank = jnp.where(valid_rank, local, 0)
+            def round_body(st):
+                remaining, space, comp_slot, local_of, ptr, rnd = st
+                w = jnp.where(in_top, space.astype(jnp.float32), 0.0)
+                probs = w / jnp.maximum(jnp.sum(w), 1e-30)
+                kk = jax.random.fold_in(net_key, rnd)
+                logits = jnp.where(probs > 0,
+                                   jnp.log(jnp.maximum(probs, 1e-30)),
+                                   -jnp.inf)
+                draws = jax.random.categorical(kk, logits, shape=(m_max,))
+                active = jnp.arange(m_max) < remaining
+                cnt = _bincount(draws, c, active)
+                cnt = jnp.minimum(cnt, space)
+                bounds = jnp.cumsum(cnt)
+                assigned = bounds[-1]
+                ranks = jnp.arange(m_max)
+                slot = jnp.clip(jnp.searchsorted(bounds, ranks, side="right"),
+                                0, c - 1)
+                in_round = ranks < assigned
+                idx = jnp.where(in_round, ptr + ranks, m_max)
+                comp_slot = comp_slot.at[idx].set(
+                    jnp.where(in_round, slot, comp_slot[idx]))
+                local = ranks - jnp.where(slot > 0, bounds[slot - 1], 0)
+                local_of = local_of.at[idx].set(
+                    jnp.where(in_round, local, local_of[idx]))
+                return (remaining - assigned, space - cnt, comp_slot,
+                        local_of, ptr + assigned, rnd + 1)
+
+            st = (m, sorted_space,
+                  jnp.zeros((m_max + 1,), I32), jnp.zeros((m_max + 1,), I32),
+                  jnp.asarray(0, I32), jnp.asarray(0, I32))
+            _, space_left, comp_slot, local_arr, _, _ = jax.lax.while_loop(
+                round_cond, round_body, st)
+            counts = sorted_space - space_left
+            ranks = jnp.arange(m_max)
+            valid_rank = ranks < m
+            comp_of_rank = jnp.where(valid_rank, order[comp_slot[:m_max]], -1)
+            local_of_rank = jnp.where(valid_rank, local_arr[:m_max], 0)
+        else:
+            # one vectorized multinomial round proportional to free space
+            # with capacity caps (:1237-1253), then a deterministic
+            # water-fill of any capped-out remainder into open slots (sorted
+            # order) — equivalent to the reference's redraw-loop whenever no
+            # cap binds.
+            w = jnp.where(in_top, sorted_space.astype(jnp.float32), 0.0)
+            probs = w / jnp.maximum(jnp.sum(w), 1e-30)
+            counts = _multinomial(net_key, m, probs, m_max)
+            counts = jnp.minimum(counts, sorted_space)     # capacity cap :1251
+            counts = counts + _waterfill(m - jnp.sum(counts),
+                                         sorted_space - counts)
+
+            bounds = jnp.cumsum(counts)
+            ranks = jnp.arange(m_max)
+            slot = jnp.clip(jnp.searchsorted(bounds, ranks, side="right"),
+                            0, c - 1)
+            valid_rank = ranks < m
+            comp_of_rank = jnp.where(valid_rank, order[slot], -1)
+            local = ranks - jnp.where(slot > 0, bounds[slot - 1], 0)
+            local_of_rank = jnp.where(valid_rank, local, 0)
 
         # write the consumed space back through the sort permutation
         new_space = jnp.zeros_like(space).at[order].set(sorted_space - counts)

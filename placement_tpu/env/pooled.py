@@ -89,9 +89,16 @@ def rollout_chunk(params: EnvParams, policy_fn, chunk_len: int,
 
     ``policy_fn(key, params, mask) -> actions`` (e.g.
     ``agent.random_policy.random_action``). Returns
-    ``fn(states, key) -> (states, key, reward_sum, done_count)`` where the
-    pool for the chunk is drawn inside the call (so steady-state throughput
-    measured over the chunk includes generation cost honestly).
+    ``fn(states, key) -> (states, key, reward_sum, done_count, wrap_count)``
+    where the pool for the chunk is drawn inside the call (so steady-state
+    throughput measured over the chunk includes generation cost honestly).
+
+    ``wrap_count`` is the number of boards that consumed more than
+    ``pool_size`` entries this chunk — i.e. boards whose index wrapped and
+    replayed an instance from the same pool. It is exactly 0 whenever
+    ``pool_size >= chunk_len / min_episode_len``; callers with
+    variable-length episodes MUST check it (a nonzero value means sample
+    reuse silently biased the run).
     """
 
     def fn(states: EnvState, key):
@@ -110,6 +117,7 @@ def rollout_chunk(params: EnvParams, policy_fn, chunk_len: int,
 
         (states, counts, key), (r, d) = jax.lax.scan(
             one, (states, counts, key), None, length=chunk_len)
-        return states, key, r.sum(), d.sum()
+        wrapped = jnp.sum((counts > pool_size).astype(I32))
+        return states, key, r.sum(), d.sum(), wrapped
 
     return fn

@@ -66,18 +66,28 @@ def net_pin_table(params: EnvParams, pin_abs_x, pin_abs_y, pin_net):
 # ---------------------------------------------------------------------------
 
 def centroid_route(pos, mask):
-    """Segments f32[N, M, 4] + validity bool[N, M].
+    """Segments f32[N, M, 4] + validity bool[N, M] + exact scaled form.
 
     A net with exactly two pins is routed directly pin->pin; otherwise every
     pin connects to the net centroid.
+
+    Returns ``(seg, seg_valid, seg_scaled, scale)``: ``seg`` carries the
+    real-valued endpoints (for wirelength); ``seg_scaled[n] = seg[n] *
+    scale[n]`` holds EXACT integer coordinates (the centroid sx/c is stored
+    as the integer coordinate-sum sx), so the crossing predicate can be
+    evaluated in exact arithmetic — see ``count_crossings``.
     """
     counts = jnp.sum(mask, axis=1)
     csum = jnp.sum(jnp.where(mask[..., None], pos, 0.0), axis=1)
-    centroid = csum / jnp.maximum(counts, 1)[:, None].astype(pos.dtype)
+    denom = jnp.maximum(counts, 1)[:, None].astype(pos.dtype)
+    centroid = csum / denom
 
     # star segments pin -> centroid
     star = jnp.concatenate(
         [pos, jnp.broadcast_to(centroid[:, None, :], pos.shape)], axis=-1)
+    star_scaled = jnp.concatenate(
+        [pos * denom[:, :, None],
+         jnp.broadcast_to(csum[:, None, :], pos.shape)], axis=-1)
     star_valid = mask
 
     # two-pin direct segment occupies slot 0 only
@@ -85,10 +95,14 @@ def centroid_route(pos, mask):
     two = (counts == 2)[:, None]
     seg = jnp.where(two[..., None], 0.0, star)
     seg = seg.at[:, 0].set(jnp.where(two, direct, seg[:, 0]))
+    seg_scaled = jnp.where(two[..., None], 0.0, star_scaled)
+    seg_scaled = seg_scaled.at[:, 0].set(
+        jnp.where(two, direct, seg_scaled[:, 0]))
+    scale = jnp.where(two[:, 0], 1, jnp.maximum(counts, 1)).astype(pos.dtype)
     seg_valid = jnp.where(two, jnp.arange(mask.shape[1])[None, :] == 0,
                           star_valid)
     seg_valid = seg_valid & (counts > 0)[:, None]
-    return seg, seg_valid
+    return seg, seg_valid, seg_scaled, scale
 
 
 # ---------------------------------------------------------------------------
@@ -219,8 +233,17 @@ def beam_route(params: EnvParams, pos, mask, beam_width: int):
 def _pairwise_intersect(seg_a, seg_b):
     """is_intersect (dummy_env_rectangular_pin.py:687-739), vectorized over
     leading dims: shared endpoint => True; parallel (det == 0) => False;
-    otherwise the line-line intersection point must lie inside both segments'
-    bounding boxes (inclusive)."""
+    otherwise the line-line crossing point must lie on both segments.
+
+    Evaluated as orientation sign tests instead of computing the division
+    px/py and box-comparing it (the reference's formulation): for det != 0
+    the crossing point lies on segment RS iff R and S sit on opposite sides
+    of (or on) line PQ, and symmetrically for PQ against line RS — the same
+    predicate in real arithmetic, but free of division/FMA rounding. With
+    integer endpoint coordinates (or integer-scaled ones, see
+    ``count_crossings``) every intermediate is an exact small integer, so
+    the result is identical in f32, f64, and across differently-fused XLA
+    programs (the Pallas kernel's reward body must agree bit-for-bit)."""
     x1, y1, x2, y2 = jnp.moveaxis(seg_a, -1, 0)
     x3, y3, x4, y4 = jnp.moveaxis(seg_b, -1, 0)
 
@@ -228,32 +251,47 @@ def _pairwise_intersect(seg_a, seg_b):
             | ((x2 == x3) & (y2 == y3)) | ((x2 == x4) & (y2 == y4)))
 
     det = (x1 - x2) * (y3 - y4) - (y1 - y2) * (x3 - x4)
-    safe_det = jnp.where(det == 0, 1.0, det)
-    a = x1 * y2 - y1 * x2
-    b = x3 * y4 - y3 * x4
-    px = (a * (x3 - x4) - (x1 - x2) * b) / safe_det
-    py = (a * (y3 - y4) - (y1 - y2) * b) / safe_det
 
-    on_both = ((jnp.minimum(x1, x2) <= px) & (px <= jnp.maximum(x1, x2))
-               & (jnp.minimum(x3, x4) <= px) & (px <= jnp.maximum(x3, x4))
-               & (jnp.minimum(y1, y2) <= py) & (py <= jnp.maximum(y1, y2))
-               & (jnp.minimum(y3, y4) <= py) & (py <= jnp.maximum(y3, y4)))
-    return same | ((det != 0) & on_both)
+    def orient(ax, ay, bx, by, cx, cy):
+        return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+    o1 = orient(x1, y1, x2, y2, x3, y3)
+    o2 = orient(x1, y1, x2, y2, x4, y4)
+    o3 = orient(x3, y3, x4, y4, x1, y1)
+    o4 = orient(x3, y3, x4, y4, x2, y2)
+    opp_rs = ((o1 >= 0) & (o2 <= 0)) | ((o1 <= 0) & (o2 >= 0))
+    opp_pq = ((o3 >= 0) & (o4 <= 0)) | ((o3 <= 0) & (o4 >= 0))
+    return same | ((det != 0) & opp_rs & opp_pq)
 
 
-def count_crossings(segs, seg_valid):
+def count_crossings(segs, seg_valid, scale=None):
     """Number of intersecting cross-net segment pairs.
 
     ``segs`` f32[N, M, 4], ``seg_valid`` bool[N, M]. Only pairs from
     different nets are counted, each unordered pair once
     (find_num_intersection:663-685).
+
+    ``scale`` f32[N] (optional): per-net denominator when ``segs`` carries
+    integer-scaled coordinates (``centroid_route``'s ``seg_scaled`` stores
+    pin*count and the centroid as the raw coordinate sum). Each cross-net
+    pair is brought to the common frame scale_a*scale_b, keeping every
+    coordinate an exact small integer (<= grid*max_ppn^2), which makes the
+    intersection predicate exact arithmetic.
     """
     n, m, _ = segs.shape
     flat = segs.reshape(n * m, 4)
     valid = seg_valid.reshape(n * m)
     net = jnp.repeat(jnp.arange(n), m)
 
-    hit = _pairwise_intersect(flat[:, None, :], flat[None, :, :])
+    if scale is None:
+        a = flat[:, None, :]
+        b = flat[None, :, :]
+    else:
+        s = jnp.repeat(scale, m)
+        a = flat[:, None, :] * s[None, :, None]   # pair (i, j): A_i * s_j
+        b = flat[None, :, :] * s[:, None, None]   # pair (i, j): B_j * s_i
+
+    hit = _pairwise_intersect(a, b)
     pair_ok = (net[:, None] < net[None, :]) & valid[:, None] & valid[None, :]
     return jnp.sum(hit & pair_ok).astype(jnp.int32)
 
@@ -283,8 +321,8 @@ def terminal_reward(params: EnvParams, pin_abs_x, pin_abs_y, pin_net,
     pos, mask, _ = net_pin_table(params, pin_abs_x, pin_abs_y, pin_net)
 
     if params.reward_type in ("centroid", "both"):
-        c_segs, c_valid = centroid_route(pos, mask)
-        c_int = count_crossings(c_segs, c_valid)
+        c_segs, c_valid, c_scaled, c_scale = centroid_route(pos, mask)
+        c_int = count_crossings(c_scaled, c_valid, c_scale)
         c_wl = wirelength(c_segs, c_valid)
     if params.reward_type in ("beam", "both"):
         b_segs, b_valid = beam_route(params, pos, mask,

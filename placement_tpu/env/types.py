@@ -63,6 +63,15 @@ class EnvParams:
     min_num_pins_per_net: int = 2
     max_num_pins_per_net: int = 6
 
+    # Sampling fidelity: False = vectorized capped multinomials (one round +
+    # deterministic water-fill; equals the reference whenever no cap binds —
+    # the throughput path). True = sequential per-trial/per-round samplers
+    # reproducing the reference's exact sampling PROCESS in cap-bound
+    # regimes (sample_truncated_multinomial:258-295,
+    # allocate_pins_to_components_for_net:1176-1264) at ~max_trials extra
+    # kernels per reset.
+    exact_sampling: bool = False
+
     # Reward (pin variants), cf. dummy_env_rectangular_pin.py:412-416.
     reward_type: str = "both"  # "beam" | "centroid" | "both"
     reward_beam_width: int = 2

@@ -151,23 +151,32 @@ def centroid_reward_rows(params: EnvParams, pax, pay, pnet, npin):
     x = pax.astype(F32)
     y = pay.astype(F32)
     in_use = jax.lax.broadcasted_iota(I32, (B, P), 1) < npin
-    cnt_n, cx_n, cy_n, start_n = [], [], [], []
+    cnt_n, cx_n, cy_n, sx_n, sy_n, start_n = [], [], [], [], [], []
     run = jnp.zeros((B, 1), I32)
     for n in range(N):
         mn = (pnet == n) & in_use
         c = jnp.sum(mn.astype(I32), axis=1, keepdims=True)
         denom = jnp.maximum(c, 1).astype(F32)
-        cx = jnp.sum(jnp.where(mn, x, 0.0), axis=1, keepdims=True) / denom
-        cy = jnp.sum(jnp.where(mn, y, 0.0), axis=1, keepdims=True) / denom
+        sx = jnp.sum(jnp.where(mn, x, 0.0), axis=1, keepdims=True)
+        sy = jnp.sum(jnp.where(mn, y, 0.0), axis=1, keepdims=True)
         cnt_n.append(c)
-        cx_n.append(cx)
-        cy_n.append(cy)
+        sx_n.append(sx)
+        sy_n.append(sy)
+        cx_n.append(sx / denom)
+        cy_n.append(sy / denom)
         start_n.append(run)
         run = run + c
     # per-pin segment: pin -> net centroid; 2-pin nets route pin0 -> pin1
-    # directly (route_pins_centroid:1296-1324)
+    # directly (route_pins_centroid:1296-1324). Alongside the real-valued
+    # endpoints (x2, y2 — for wirelength), integer-scaled ones are kept
+    # (x2s/y2s = coordinate sums, x1s/y1s = pin*count; scale s) so the
+    # crossing predicate below is exact arithmetic that agrees bit-for-bit
+    # with routing.count_crossings (see routing._pairwise_intersect).
     x2 = jnp.zeros((B, P), F32)
     y2 = jnp.zeros((B, P), F32)
+    x2s = jnp.zeros((B, P), F32)
+    y2s = jnp.zeros((B, P), F32)
+    s = jnp.ones((B, P), F32)
     svalid = jnp.zeros((B, P), jnp.bool_)
     for n in range(N):
         mn = (pnet == n) & in_use
@@ -179,45 +188,52 @@ def centroid_reward_rows(params: EnvParams, pax, pay, pnet, npin):
         ys = jnp.sum(jnp.where(second, y, 0.0), axis=1, keepdims=True)
         ex = jnp.where(two, xs, cx_n[n])
         ey = jnp.where(two, ys, cy_n[n])
+        exs = jnp.where(two, xs, sx_n[n])
+        eys = jnp.where(two, ys, sy_n[n])
+        sc = jnp.where(two, 1.0, jnp.maximum(cnt_n[n], 1).astype(F32))
         x2 = jnp.where(mn, jnp.broadcast_to(ex, (B, P)), x2)
         y2 = jnp.where(mn, jnp.broadcast_to(ey, (B, P)), y2)
+        x2s = jnp.where(mn, jnp.broadcast_to(exs, (B, P)), x2s)
+        y2s = jnp.where(mn, jnp.broadcast_to(eys, (B, P)), y2s)
+        s = jnp.where(mn, jnp.broadcast_to(sc, (B, P)), s)
         sv = mn & ~(jnp.broadcast_to(two, (B, P)) & ~first)
         svalid = svalid | sv
     wl = jnp.sum(jnp.where(
         svalid, jnp.sqrt((x - x2) ** 2 + (y - y2) ** 2), 0.0),
         axis=1, keepdims=True)
+    x1s = x * s
+    y1s = y * s
 
     # all-pairs cross-net crossing count (find_num_intersection:663;
     # is_intersect:687 — shared endpoint counts, parallel never counts,
-    # otherwise the line-intersection point must lie in both boxes)
+    # otherwise orientation sign tests on exactly-scaled integer coords;
+    # pair (p, q) is brought to the common frame s_p * s_q)
     ints = jnp.zeros((B, 1), F32)
     for p in range(P):
-        x1p = x[:, p:p + 1]
-        y1p = y[:, p:p + 1]
-        x2p = x2[:, p:p + 1]
-        y2p = y2[:, p:p + 1]
+        sp = s[:, p:p + 1]
+        ax1 = x1s[:, p:p + 1] * s
+        ay1 = y1s[:, p:p + 1] * s
+        ax2 = x2s[:, p:p + 1] * s
+        ay2 = y2s[:, p:p + 1] * s
+        bx1 = x1s * sp
+        by1 = y1s * sp
+        bx2 = x2s * sp
+        by2 = y2s * sp
         later = iota_p > p
         ok = (svalid & later & (pnet != pnet[:, p:p + 1])
               & svalid[:, p:p + 1])
-        same = (((x1p == x) & (y1p == y))
-                | ((x1p == x2) & (y1p == y2))
-                | ((x2p == x) & (y2p == y))
-                | ((x2p == x2) & (y2p == y2)))
-        det = (x1p - x2p) * (y - y2) - (y1p - y2p) * (x - x2)
-        sdet = jnp.where(det == 0, 1.0, det)
-        a = x1p * y2p - y1p * x2p
-        b2 = x * y2 - y * x2
-        px = (a * (x - x2) - (x1p - x2p) * b2) / sdet
-        py = (a * (y - y2) - (y1p - y2p) * b2) / sdet
-        on = ((jnp.minimum(x1p, x2p) <= px)
-              & (px <= jnp.maximum(x1p, x2p))
-              & (jnp.minimum(x, x2) <= px)
-              & (px <= jnp.maximum(x, x2))
-              & (jnp.minimum(y1p, y2p) <= py)
-              & (py <= jnp.maximum(y1p, y2p))
-              & (jnp.minimum(y, y2) <= py)
-              & (py <= jnp.maximum(y, y2)))
-        hit = same | ((det != 0) & on)
+        same = (((ax1 == bx1) & (ay1 == by1))
+                | ((ax1 == bx2) & (ay1 == by2))
+                | ((ax2 == bx1) & (ay2 == by1))
+                | ((ax2 == bx2) & (ay2 == by2)))
+        det = (ax1 - ax2) * (by1 - by2) - (ay1 - ay2) * (bx1 - bx2)
+        o1 = (ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1)
+        o2 = (ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1)
+        o3 = (bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1)
+        o4 = (bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1)
+        opp_b = ((o1 >= 0) & (o2 <= 0)) | ((o1 <= 0) & (o2 >= 0))
+        opp_a = ((o3 >= 0) & (o4 <= 0)) | ((o3 <= 0) & (o4 >= 0))
+        hit = same | ((det != 0) & opp_b & opp_a)
         ints = ints + jnp.sum((hit & ok).astype(F32), axis=1, keepdims=True)
     return -(F32(lam_w) * (wl / F32(wl_norm))
              + F32(lam_i) * (ints / F32(int_norm)))
@@ -686,6 +702,14 @@ def init_leaves(params: EnvParams, key, batch: int) -> Dict[str, jnp.ndarray]:
     from placement_tpu.env import core
     states = jax.vmap(lambda k: core.reset(params, k))(
         jax.random.split(key, batch))
+    return leaves_from_states(params, states)
+
+
+def leaves_from_states(params: EnvParams, states) -> Dict[str, jnp.ndarray]:
+    """Convert an already-batched EnvState into the kernel's row layout
+    (cheap reshapes/casts only — callers that already hold reset states,
+    e.g. bench.py, avoid recompiling the batched generator)."""
+    batch = states.done.shape[0]
     return {
         "grid": states.grid.reshape(batch, -1).astype(F32),
         "comp_h": states.comp_h.astype(I32),

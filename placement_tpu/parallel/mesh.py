@@ -75,7 +75,10 @@ def shard_learner(learner, mesh: Mesh):
                                              state.opt_state),
             kl_coeff=put(state.kl_coeff, repl),
             key=put(state.key, repl),
-            steps=put(state.steps, repl))
+            steps=put(state.steps, repl),
+            # per-env episode accumulators ride the board axis
+            ep_return_acc=put(state.ep_return_acc, data),
+            ep_len_acc=put(state.ep_len_acc, data))
 
     train_step = jax.jit(learner.train_step)
     return place, train_step

@@ -59,3 +59,49 @@ def test_random_policy_simulate():
     assert len(r) == 50
     # a 6x6 grid always fits at least 4 non-overlapping 2x2 components
     assert (r >= 1).all() and (r <= 9).all()
+
+
+def test_episode_returns_not_truncated_by_window():
+    """Returns accumulate ACROSS rollout windows: the 10x10 square env packs
+    ~17-25 unit-reward placements per episode, far more than the 8-step
+    unroll, so the reported full-episode mean must exceed the window length
+    (the round-1 implementation truncated at the window edge, ppo.py:281-299)."""
+    params = EnvParams(variant=Variant.SQUARE, height=10, width=10,
+                       component_n=2)
+    pol = Policy(params, model_config_for(params, "square"))
+    learner = PPOLearner(params, pol, small_cfg(num_envs=16))
+    state = learner.init(jax.random.PRNGKey(0))
+    step = learner.jitted_train_step()
+    means, counts, lens = [], [], []
+    for _ in range(6):
+        state, metrics = step(state)
+        means.append(float(metrics["episode_reward_mean"]))
+        counts.append(int(metrics["episodes_this_iter"]))
+        lens.append(float(metrics["episode_len_mean"]))
+    total_eps = sum(counts)
+    assert total_eps > 0
+    avg = sum(m * c for m, c in zip(means, counts)) / total_eps
+    assert avg > 12, (means, counts)          # truncated metric caps at 8
+    avg_len = sum(l * c for l, c in zip(lens, counts)) / total_eps
+    assert avg_len > 12, (lens, counts)
+
+
+def test_ppo_learns_on_tiny_square():
+    """Learning-signal regression (VERDICT r1 item 5): 40 iterations on the
+    6x6 square env lift episode return from the ~6.2 random level toward the
+    optimal 9 (calibrated: reaches ~8.8; asserted with slack)."""
+    params = EnvParams(variant=Variant.SQUARE, height=6, width=6,
+                       component_n=2)
+    pol = Policy(params, model_config_for(params, "square"))
+    cfg = PPOConfig(num_envs=32, unroll_length=16, minibatch_size=64,
+                    num_sgd_iter=8, lr=3e-4)
+    learner = PPOLearner(params, pol, cfg)
+    state = learner.init(jax.random.PRNGKey(0))
+    step = learner.jitted_train_step()
+    rews = []
+    for _ in range(40):
+        state, m = step(state)
+        rews.append(float(m["episode_reward_mean"]))
+    first, last = np.mean(rews[:5]), np.mean(rews[-5:])
+    assert last > first + 1.0, (first, last)
+    assert last > 7.5, rews[-5:]

@@ -141,10 +141,15 @@ def test_route_pins_centroid():
     pos, mask, _ = _table(PARAMS_10,
                           [(0, 0, 0), (0, 1, 0),
                            (2, 2, 1), (3, 3, 1), (4, 4, 1)])
-    segs, valid = jax.jit(routing.centroid_route)(pos, mask)
+    segs, valid, seg_scaled, scale = jax.jit(routing.centroid_route)(pos, mask)
     assert segset(segs, valid) == {
         (0, 0, 0, 1),
         (2, 2, 3.0, 3.0), (3, 3, 3.0, 3.0), (4, 4, 3.0, 3.0)}
+    # scaled form: pin*count with raw coordinate sums for the centroid
+    assert segset(seg_scaled, valid) == {
+        (0, 0, 0, 1),
+        (6, 6, 9.0, 9.0), (9, 9, 9.0, 9.0), (12, 12, 9.0, 9.0)}
+    assert np.asarray(scale)[:2].tolist() == [1.0, 3.0]
 
 
 def test_pin_outlier():

@@ -1,0 +1,123 @@
+"""Tests for the single-kernel Pallas rollout (ops/fused_rollout.py).
+
+Runs the EXACT kernel the benchmark uses under the Pallas TPU interpreter
+(``make_fused_rollout(..., interpret=True)``) so CI exercises it on the CPU
+mesh. Three layers:
+
+  1. ``centroid_reward_rows`` (the kernel's reward body, shared as plain
+     jnp) must agree with the tested ``routing.terminal_reward``
+     (find_reward, dummy_env_rectangular_pin.py:832-975) on real terminal
+     pin tables.
+  2. Episode accounting must be exact: flagship episodes are provably 5
+     legal placements, so done-counts are deterministic.
+  3. Episode-reward distribution must agree with the pure-JAX pooled path
+     (different PRNG streams, same distribution).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from placement_tpu.agent.random_policy import random_action
+from placement_tpu.env import core, pooled
+from placement_tpu.ops import fused_rollout
+from placement_tpu.utils.config import load_experiment
+
+ENV_PARAMS, _, _ = load_experiment("rectangle_pin")
+
+
+def _terminal_states(batch, seed=0):
+    """Play random legal episodes to completion on the pure-JAX stepper."""
+    step_b = jax.jit(jax.vmap(lambda s, a: core.step(ENV_PARAMS, s, a)))
+    reset_b = jax.jit(jax.vmap(lambda k: core.reset(ENV_PARAMS, k)))
+    states = reset_b(jax.random.split(jax.random.PRNGKey(seed), batch))
+    key = jax.random.PRNGKey(seed + 1)
+    last_reward = jnp.zeros((batch,))
+    for _ in range(5):  # flagship episodes are exactly 5 placements
+        key, k = jax.random.split(key)
+        actions = random_action(k, ENV_PARAMS, states.action_mask)
+        states, reward, done, _ = step_b(states, actions)
+        last_reward = jnp.where(done, reward, last_reward)
+    assert bool(jnp.all(states.done))
+    return states, last_reward
+
+
+def test_centroid_reward_rows_matches_routing():
+    """Kernel reward body == routing.terminal_reward on 64 real terminal
+    boards (exact same route construction; f32 tolerance only)."""
+    states, reward = _terminal_states(64)
+    got = fused_rollout.centroid_reward_rows(
+        ENV_PARAMS,
+        states.pin_abs_x.astype(jnp.int32),
+        states.pin_abs_y.astype(jnp.int32),
+        states.pin_net.astype(jnp.int32),
+        states.num_pins.reshape(-1, 1).astype(jnp.int32))
+    np.testing.assert_allclose(np.asarray(got).ravel(),
+                               np.asarray(reward).ravel(),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def fused_run():
+    batch, steps = 32, 25
+    leaves = fused_rollout.init_leaves(ENV_PARAMS, jax.random.PRNGKey(3),
+                                       batch)
+    fn = fused_rollout.make_fused_rollout(ENV_PARAMS, batch, steps,
+                                          block=batch, interpret=True)
+    leaves1, rsum1, dcnt1 = fn(leaves, 1001)
+    leaves2, rsum2, dcnt2 = fn(leaves1, 1002)
+    return (batch, steps, leaves, (leaves1, rsum1, dcnt1),
+            (leaves2, rsum2, dcnt2))
+
+
+def test_fused_episode_accounting(fused_run):
+    batch, steps, _, (leaves1, _, dcnt1), (leaves2, _, dcnt2) = fused_run
+    # 25 steps = 5 full episodes per board
+    assert int(dcnt1) == batch * (steps // 5)
+    assert int(dcnt2) == batch * (steps // 5)
+    # all boards sit at a fresh episode boundary: empty grid, cursor 0
+    for leaves in (leaves1, leaves2):
+        assert np.asarray(leaves["grid"]).sum() == 0
+        assert (np.asarray(leaves["cursor"]) == 0).all()
+        assert (np.asarray(leaves["num_components"]) == 5).all()
+        # masks are the fresh-board masks: full interior free
+        assert np.asarray(leaves["plane0"]).sum() > 0
+
+
+def test_fused_state_invariants_midepisode():
+    """After a non-multiple-of-5 step count every board is mid-episode with
+    cursor == steps % 5 and 4*cursor occupied cells."""
+    batch, steps = 16, 7
+    leaves = fused_rollout.init_leaves(ENV_PARAMS, jax.random.PRNGKey(5),
+                                       batch)
+    fn = fused_rollout.make_fused_rollout(ENV_PARAMS, batch, steps,
+                                          block=batch, interpret=True)
+    out, _, dcnt = fn(leaves, 77)
+    assert int(dcnt) == batch  # one reset per board (at step 5)
+    assert (np.asarray(out["cursor"]) == steps % 5).all()
+    assert (np.asarray(out["grid"]).sum(axis=1) == 4 * (steps % 5)).all()
+    # placed components' pins have absolute positions on-board
+    pax = np.asarray(out["pin_abs_x"])
+    pcomp = np.asarray(out["pin_comp"])
+    placed_pins = (pcomp >= 0) & (pcomp < steps % 5)
+    assert (pax[placed_pins] >= 0).all()
+    assert (pax[placed_pins] < ENV_PARAMS.height).all()
+
+
+def test_fused_reward_distribution_matches_pooled(fused_run):
+    """Mean episode reward of the fused kernel agrees with the pure-JAX
+    pooled path within sampling error (independent PRNG streams)."""
+    batch, steps, leaves0, (l1, rsum1, dcnt1), (l2, rsum2, dcnt2) = fused_run
+    fused_mean = (float(rsum1) + float(rsum2)) / (int(dcnt1) + int(dcnt2))
+
+    chunk = jax.jit(pooled.rollout_chunk(ENV_PARAMS, random_action,
+                                         2 * steps, 2 * steps // 5 + 2))
+    reset_b = jax.jit(jax.vmap(lambda k: core.reset(ENV_PARAMS, k)))
+    states = reset_b(jax.random.split(jax.random.PRNGKey(9), 64))
+    _, _, r, d, wrapped = chunk(states, jax.random.PRNGKey(10))
+    assert int(wrapped) == 0
+    pooled_mean = float(r) / int(d)
+
+    # ~320 episodes per side; episode-reward std is ~0.35 on this config
+    assert abs(fused_mean - pooled_mean) < 0.12, (fused_mean, pooled_mean)

@@ -86,6 +86,19 @@ def test_rollout_chunk_throughput_semantics():
     states = _reset_batch(jax.random.PRNGKey(6), batch)
     fn = jax.jit(pooled.rollout_chunk(PARAMS, random_action, chunk,
                                       pool_size=4))
-    states, _, r, d = fn(states, jax.random.PRNGKey(7))
+    states, _, r, d, wrapped = fn(states, jax.random.PRNGKey(7))
     assert np.isfinite(float(r))
     assert int(d) == batch * chunk // 5
+    assert int(wrapped) == 0  # pool_size 4 >= 10/5 resets per board
+
+
+def test_rollout_chunk_wrap_counter_detects_reuse():
+    """A pool smaller than chunk_len/episode_len forces index wrap-around;
+    the chunk must report it (round-1 weak spot: silent instance replay)."""
+    batch, chunk = 4, 25        # 5 resets per board
+    states = _reset_batch(jax.random.PRNGKey(8), batch)
+    fn = jax.jit(pooled.rollout_chunk(PARAMS, random_action, chunk,
+                                      pool_size=2))
+    _, _, _, d, wrapped = fn(states, jax.random.PRNGKey(9))
+    assert int(d) == batch * chunk // 5
+    assert int(wrapped) == batch  # every board consumed > 2 pool entries
