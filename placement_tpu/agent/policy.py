@@ -9,7 +9,7 @@ transitions for the PPO loss. All methods are pure and jit/vmap/pjit-safe.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

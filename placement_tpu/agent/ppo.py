@@ -16,7 +16,7 @@ same code runs data-parallel on a Mesh (see placement_tpu.parallel).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,6 @@ uniform actions on device and ``simulate`` scans full episodes under jit.
 
 from __future__ import annotations
 
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -28,7 +28,6 @@ import jax
 import jax.numpy as jnp
 
 from placement_tpu.env.types import EnvParams, Variant
-from placement_tpu.ops.sat import orientation_action_mask
 
 I32 = jnp.int32
 

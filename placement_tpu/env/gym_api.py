@@ -13,7 +13,7 @@ scripts; batch training should use ``placement_tpu.env.core`` directly.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple, Union
+from typing import Any, Dict, Tuple, Union
 
 import jax
 import numpy as np

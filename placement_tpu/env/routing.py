@@ -20,7 +20,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from placement_tpu.env.types import EnvParams, Variant
+from placement_tpu.env.types import EnvParams
 
 F32 = jnp.float32
 BIG = jnp.float32(1e9)

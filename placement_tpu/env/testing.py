@@ -9,13 +9,13 @@ the fixed-shape state so the golden-value tests port over.
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from placement_tpu.env import core
+
 from placement_tpu.env.types import EnvParams, EnvState
 
 I32 = jnp.int32

@@ -34,7 +34,6 @@ Semantics notes (vs. core.step / generator.generate_instance):
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Tuple
 
 import jax
@@ -265,7 +264,7 @@ def _sort_desc_cols(key_cols, payload_cols_list):
 # Kernel factory
 # ---------------------------------------------------------------------------
 
-def _build_kernel(params: EnvParams, num_steps: int, block: int):
+def _build_kernel(params: EnvParams, num_steps: int, block: int):  # noqa: complexity
     H, W, A = params.height, params.width, params.area
     C = params.max_components
     N = params.max_num_nets
@@ -289,7 +288,7 @@ def _build_kernel(params: EnvParams, num_steps: int, block: int):
                        for w in range(minW, maxW + 1)})
     B = block
 
-    def kernel(seed_ref,
+    def kernel(seed_ref,  # noqa: complexity — one fused rollout program by design
                grid_ref, ch_ref, cw_ref, cur_ref, numc_ref,
                prx_ref, pry_ref, pax_ref, pay_ref, pnet_ref, pcomp_ref,
                npin_ref, p0_ref, p1_ref,

@@ -17,7 +17,7 @@ from __future__ import annotations
 import csv
 import os
 import time
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import numpy as np

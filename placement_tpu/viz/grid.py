@@ -10,7 +10,7 @@ as dots colored by net id with a net colorbar. Consumes the host-side
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -52,15 +52,40 @@ with st.sidebar:
         )
 
     st.header("Model")
+    # full control surface of the reference train page (~28 sidebar inputs,
+    # web_app/pages/2_…Train new agent.py:143-330) plus the preset-specific
+    # knobs the reference only exposes via config JSONs
     model_over = dict(
         num_conv_blocks=st.slider("conv blocks", 1, 4, 2),
         num_conv_filters=st.slider("conv filters", 1, 16, 3),
         conv_kernel_size=st.slider("conv kernel", 2, 5, 3),
+        max_pool=st.radio("max pool", (False, True), horizontal=True),
+        max_pool_kernel_size=st.slider("max pool kernel", 2, 4, 2),
         component_feature_encoding_dimension=st.slider(
             "component enc dim", 4, 64, 16),
         pin_feature_encoding_dimension=st.slider("pin enc dim", 4, 64, 16),
         activation=st.selectbox("activation", ["relu", "tanh", "sigmoid"]),
     )
+    if "attn" in model_type:
+        model_over.update(
+            attn_hidden_size=st.slider("attention hidden size", 4, 64, 16),
+            attn_hidden_size_pin=st.slider("pin attention hidden size",
+                                           4, 64, 16),
+        )
+    if "factorized" in model_type:
+        model_over.update(factorization=st.selectbox(
+            "factorization order", ["orientation", "coordinates"]))
+    if "spatial" in model_type:
+        model_over.update(
+            num_conv_blocks_component_grid=st.slider(
+                "component-grid conv blocks", 1, 4, 1),
+            num_conv_filters_component_grid=st.slider(
+                "component-grid conv filters", 1, 16, 3),
+            conv_kernel_size_component_grid=st.slider(
+                "component-grid conv kernel", 2, 5, 3),
+            component_attn_hidden_size=st.slider(
+                "component attention hidden size", 4, 64, 16),
+        )
 
     st.header("PPO")
     iterations = st.slider("training iterations", 1, 200, 10)
