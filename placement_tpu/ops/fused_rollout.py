@@ -5,10 +5,11 @@ env step (mask SAT, action sampling, pin updates, and — dominating at 75% of
 step cost, PERF_NOTES.md — the fresh-instance generator that runs every step
 because `vmap` turns the done-branch into a `select`).  This module collapses
 the *entire* rollout chunk into ONE Pallas kernel: random legal-action
-sampling, the placement transition, the centroid routing reward
-(find_reward, dummy_env_rectangular_pin.py:832-975), and in-kernel instance
-regeneration (generate_instances:1006) on episode end, looped over
-`num_steps` with `fori_loop`.
+sampling, the placement transition, the routing reward (find_reward,
+dummy_env_rectangular_pin.py:832-975 — centroid, beam, or "both", see
+ops/fused_routing.py), and in-kernel instance regeneration
+(generate_instances:1006) on episode end, looped over `num_steps` with
+`fori_loop`.
 
 Layout: boards on sublanes.  Every per-board quantity is a row of a
 `[block, F]` array (grid flattened to `[block, H*W]`, pin tables
@@ -16,9 +17,9 @@ Layout: boards on sublanes.  Every per-board quantity is a row of a
 VPU op over the whole block and the hot rectangle-sum reduction becomes a
 single `[block, A] @ [A, A]` MXU matmul per (h, w) footprint.
 
-Supported configuration (trace-time checked): PIN variant with centroid
-reward — the flagship benchmark config.  Anything else falls back to the
-pure-JAX `pooled` path.  RNG is a counter-based hash PRNG (`_Rng`) — a
+Supported configuration (trace-time checked): PIN variant, any reward type
+(centroid / beam / both).  Anything else falls back to the pure-JAX
+`pooled` path.  RNG is a counter-based hash PRNG (`_Rng`) — a
 different stream than the JAX path but the same distributions, identical on
 TPU and under the CPU interpreter; the build owns its seed story (SURVEY.md
 §7 hard-part #1), and tests/tooling/test_fused_rollout.py checks
@@ -42,6 +43,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from placement_tpu.env.types import EnvParams, Variant
+from placement_tpu.ops import fused_routing
 
 F32 = jnp.float32
 I32 = jnp.int32
@@ -49,8 +51,7 @@ I32 = jnp.int32
 
 def supports(params: EnvParams) -> bool:
     """Whether the fused kernel covers this configuration."""
-    return (params.variant == Variant.PIN
-            and params.reward_type == "centroid")
+    return params.variant == Variant.PIN
 
 
 # ---------------------------------------------------------------------------
@@ -133,109 +134,18 @@ def _cumsum_cols(cols):
 
 
 def centroid_reward_rows(params: EnvParams, pax, pay, pnet, npin):
-    """Centroid routing reward on row-layout tables — the kernel's reward
-    body, shared as a plain-jnp function so tests can compare it one-to-one
-    against `routing.terminal_reward` (find_reward:832-975).
+    """Centroid routing reward on row-layout tables (f32[B, 1]).
 
-    pax/pay/pnet: i32[B, P]; npin: i32[B, 1]. Returns f32[B, 1].
+    Thin wrapper over ``fused_routing.centroid_wl_int`` kept for test/API
+    compatibility; the kernel itself dispatches through
+    ``fused_routing.reward_rows`` which also covers beam/"both"
+    (find_reward:832-975).
     """
-    B, P = pax.shape
-    N = params.max_num_nets
-    wl_norm = float(params.wirelength_normalizer)
-    int_norm = float(params.intersections_normalizer)
-    lam_w = float(params.weight_wirelength)
-    lam_i = float(params.weight_num_intersections)
-    iota_p = jax.lax.broadcasted_iota(I32, (1, P), 1)
-
-    x = pax.astype(F32)
-    y = pay.astype(F32)
-    in_use = jax.lax.broadcasted_iota(I32, (B, P), 1) < npin
-    cnt_n, cx_n, cy_n, sx_n, sy_n, start_n = [], [], [], [], [], []
-    run = jnp.zeros((B, 1), I32)
-    for n in range(N):
-        mn = (pnet == n) & in_use
-        c = jnp.sum(mn.astype(I32), axis=1, keepdims=True)
-        denom = jnp.maximum(c, 1).astype(F32)
-        sx = jnp.sum(jnp.where(mn, x, 0.0), axis=1, keepdims=True)
-        sy = jnp.sum(jnp.where(mn, y, 0.0), axis=1, keepdims=True)
-        cnt_n.append(c)
-        sx_n.append(sx)
-        sy_n.append(sy)
-        cx_n.append(sx / denom)
-        cy_n.append(sy / denom)
-        start_n.append(run)
-        run = run + c
-    # per-pin segment: pin -> net centroid; 2-pin nets route pin0 -> pin1
-    # directly (route_pins_centroid:1296-1324). Alongside the real-valued
-    # endpoints (x2, y2 — for wirelength), integer-scaled ones are kept
-    # (x2s/y2s = coordinate sums, x1s/y1s = pin*count; scale s) so the
-    # crossing predicate below is exact arithmetic that agrees bit-for-bit
-    # with routing.count_crossings (see routing._pairwise_intersect).
-    x2 = jnp.zeros((B, P), F32)
-    y2 = jnp.zeros((B, P), F32)
-    x2s = jnp.zeros((B, P), F32)
-    y2s = jnp.zeros((B, P), F32)
-    s = jnp.ones((B, P), F32)
-    svalid = jnp.zeros((B, P), jnp.bool_)
-    for n in range(N):
-        mn = (pnet == n) & in_use
-        rin = iota_p - start_n[n]
-        two = cnt_n[n] == 2
-        first = mn & (rin == 0)
-        second = mn & (rin == 1)
-        xs = jnp.sum(jnp.where(second, x, 0.0), axis=1, keepdims=True)
-        ys = jnp.sum(jnp.where(second, y, 0.0), axis=1, keepdims=True)
-        ex = jnp.where(two, xs, cx_n[n])
-        ey = jnp.where(two, ys, cy_n[n])
-        exs = jnp.where(two, xs, sx_n[n])
-        eys = jnp.where(two, ys, sy_n[n])
-        sc = jnp.where(two, 1.0, jnp.maximum(cnt_n[n], 1).astype(F32))
-        x2 = jnp.where(mn, jnp.broadcast_to(ex, (B, P)), x2)
-        y2 = jnp.where(mn, jnp.broadcast_to(ey, (B, P)), y2)
-        x2s = jnp.where(mn, jnp.broadcast_to(exs, (B, P)), x2s)
-        y2s = jnp.where(mn, jnp.broadcast_to(eys, (B, P)), y2s)
-        s = jnp.where(mn, jnp.broadcast_to(sc, (B, P)), s)
-        sv = mn & ~(jnp.broadcast_to(two, (B, P)) & ~first)
-        svalid = svalid | sv
-    wl = jnp.sum(jnp.where(
-        svalid, jnp.sqrt((x - x2) ** 2 + (y - y2) ** 2), 0.0),
-        axis=1, keepdims=True)
-    x1s = x * s
-    y1s = y * s
-
-    # all-pairs cross-net crossing count (find_num_intersection:663;
-    # is_intersect:687 — shared endpoint counts, parallel never counts,
-    # otherwise orientation sign tests on exactly-scaled integer coords;
-    # pair (p, q) is brought to the common frame s_p * s_q)
-    ints = jnp.zeros((B, 1), F32)
-    for p in range(P):
-        sp = s[:, p:p + 1]
-        ax1 = x1s[:, p:p + 1] * s
-        ay1 = y1s[:, p:p + 1] * s
-        ax2 = x2s[:, p:p + 1] * s
-        ay2 = y2s[:, p:p + 1] * s
-        bx1 = x1s * sp
-        by1 = y1s * sp
-        bx2 = x2s * sp
-        by2 = y2s * sp
-        later = iota_p > p
-        ok = (svalid & later & (pnet != pnet[:, p:p + 1])
-              & svalid[:, p:p + 1])
-        same = (((ax1 == bx1) & (ay1 == by1))
-                | ((ax1 == bx2) & (ay1 == by2))
-                | ((ax2 == bx1) & (ay2 == by1))
-                | ((ax2 == bx2) & (ay2 == by2)))
-        det = (ax1 - ax2) * (by1 - by2) - (ay1 - ay2) * (bx1 - bx2)
-        o1 = (ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1)
-        o2 = (ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1)
-        o3 = (bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1)
-        o4 = (bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1)
-        opp_b = ((o1 >= 0) & (o2 <= 0)) | ((o1 <= 0) & (o2 >= 0))
-        opp_a = ((o3 >= 0) & (o4 <= 0)) | ((o3 <= 0) & (o4 >= 0))
-        hit = same | ((det != 0) & opp_b & opp_a)
-        ints = ints + jnp.sum((hit & ok).astype(F32), axis=1, keepdims=True)
-    return -(F32(lam_w) * (wl / F32(wl_norm))
-             + F32(lam_i) * (ints / F32(int_norm)))
+    wl, ints = fused_routing.centroid_wl_int(params, pax, pay, pnet, npin)
+    return -(F32(float(params.weight_wirelength))
+             * (wl / F32(float(params.wirelength_normalizer)))
+             + F32(float(params.weight_num_intersections))
+             * (ints / F32(float(params.intersections_normalizer))))
 
 
 def _sort_desc_cols(key_cols, payload_cols_list):
@@ -617,7 +527,8 @@ def _build_kernel(params: EnvParams, num_steps: int, block: int):  # noqa: compl
 
             def on_done(args):
                 pax_, pay_, pnet_, npin_ = args
-                routed = centroid_reward_rows(params, pax_, pay_, pnet_, npin_)
+                routed = fused_routing.reward_rows(
+                    params, pax_, pay_, pnet_, npin_)
                 fresh = generate(rng)
                 return routed, fresh
 
@@ -735,7 +646,7 @@ def make_fused_rollout(params: EnvParams, batch: int, num_steps: int,
     must differ between calls (it seeds the in-kernel hardware PRNG).
     """
     if not supports(params):
-        raise ValueError("fused rollout supports PIN + centroid only")
+        raise ValueError("fused rollout supports the PIN variant only")
     block = min(block, batch)
     if batch % block:
         raise ValueError("batch must be divisible by block")

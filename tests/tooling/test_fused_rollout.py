@@ -105,6 +105,33 @@ def test_fused_state_invariants_midepisode():
     assert (pax[placed_pins] < ENV_PARAMS.height).all()
 
 
+def test_fused_kernel_beam_both_reward():
+    """The kernel with reward_type='both' (the reference default,
+    dummy_env_rectangular_pin.py:412) runs under the interpreter and its
+    mean episode reward agrees with the pure-JAX pooled path on the same
+    config (independent PRNG streams)."""
+    import dataclasses
+    params = dataclasses.replace(ENV_PARAMS, reward_type="both")
+    assert fused_rollout.supports(params)
+    batch, steps = 32, 25
+    leaves = fused_rollout.init_leaves(params, jax.random.PRNGKey(13), batch)
+    fn = fused_rollout.make_fused_rollout(params, batch, steps,
+                                          block=batch, interpret=True)
+    _, rsum, dcnt = fn(leaves, 4242)
+    assert int(dcnt) == batch * (steps // 5)
+    fused_mean = float(rsum) / int(dcnt)
+
+    chunk = jax.jit(pooled.rollout_chunk(params, random_action,
+                                         2 * steps, 2 * steps // 5 + 2))
+    reset_b = jax.jit(jax.vmap(lambda k: core.reset(params, k)))
+    states = reset_b(jax.random.split(jax.random.PRNGKey(14), 64))
+    _, _, r, d, wrapped = chunk(states, jax.random.PRNGKey(15))
+    assert int(wrapped) == 0
+    pooled_mean = float(r) / int(d)
+    # ~160 episodes fused vs ~640 pooled; episode-reward std ~0.35
+    assert abs(fused_mean - pooled_mean) < 0.15, (fused_mean, pooled_mean)
+
+
 def test_fused_reward_distribution_matches_pooled(fused_run):
     """Mean episode reward of the fused kernel agrees with the pure-JAX
     pooled path within sampling error (independent PRNG streams)."""
