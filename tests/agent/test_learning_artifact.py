@@ -1,0 +1,54 @@
+"""Committed learning-curve artifact stays honest (VERDICT r1 item 5).
+
+``experiments/learning_curve.py`` trains the flagship spatial config on the
+real chip and commits ``experiments/results/rectangle_spatial_pin_
+progress.csv`` (+ plot) — the equivalent of the reference's published PPO
+reward figure (docs/source/_figures/rect_pin_rewards_weights.png,
+docs/source/usage.rst:414-418). This test asserts the committed table
+actually shows learning, so the artifact can never silently rot into a
+flat or regressing curve.
+"""
+
+import csv
+import pathlib
+
+ART = (pathlib.Path(__file__).resolve().parents[2] / "experiments" /
+       "results" / "rectangle_spatial_pin_progress.csv")
+
+# random-policy mean episode reward on this config (512 episodes, seed 1;
+# printed by experiments/learning_curve.py when regenerating the artifact)
+RANDOM_BASELINE = -2.13
+
+
+def _rows():
+    with open(ART, newline="") as f:
+        return list(csv.DictReader(f))
+
+
+def test_artifact_exists_and_is_long_enough():
+    rows = _rows()
+    assert len(rows) >= 100, len(rows)
+
+
+def test_reward_improves_over_random_baseline():
+    rows = _rows()
+    last10 = [float(r["episode_reward_mean"]) for r in rows[-10:]]
+    final = sum(last10) / len(last10)
+    # ~0.9 above random on the committed run; assert with slack
+    assert final > RANDOM_BASELINE + 0.5, final
+
+
+def test_wirelength_falls():
+    rows = _rows()
+    col = "custom_metrics/normalized_wirelengths_mean"
+    first5 = [float(r[col]) for r in rows[:5]]
+    last10 = [float(r[col]) for r in rows[-10:]]
+    assert (sum(last10) / len(last10)) < (sum(first5) / len(first5)) - 0.5
+
+
+def test_intersections_do_not_regress():
+    rows = _rows()
+    col = "custom_metrics/num_intersections_mean"
+    first10 = [float(r[col]) for r in rows[:10]]
+    last10 = [float(r[col]) for r in rows[-10:]]
+    assert (sum(last10) / len(last10)) <= (sum(first10) / len(first10))
