@@ -36,13 +36,29 @@ def main() -> None:
                    help="run dir to restore the newest checkpoint from")
     p.add_argument("--no-rollouts", action="store_true",
                    help="skip post-training rollout export")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard the env batch over all local devices "
+                        "(1-D dp mesh; num-envs must divide device count)")
+    p.add_argument("--profile-dir", type=str, default=None,
+                   help="capture a jax.profiler trace of iterations 2-3 "
+                        "into this directory (TensorBoard profile plugin)")
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="multi-host: jax.distributed coordinator address")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     args = p.parse_args()
+
+    from placement_tpu.parallel.mesh import initialize_distributed, make_mesh
+    initialize_distributed(args.coordinator, args.num_processes,
+                           args.process_id)
+    mesh = make_mesh() if args.data_parallel else None
 
     cfg = PPOConfig(num_envs=args.num_envs,
                     unroll_length=args.unroll_length,
                     minibatch_size=min(128, args.num_envs
                                        * args.unroll_length))
-    trainer = Trainer(args.type, ppo_config=cfg)
+    trainer = Trainer(args.type, ppo_config=cfg, mesh=mesh,
+                      profile_dir=args.profile_dir)
     state = None
     if args.restore:
         state = trainer.restore(run_dir=args.restore, seed=args.seed)

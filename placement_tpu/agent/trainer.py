@@ -59,7 +59,9 @@ class Trainer:
                  keep_checkpoints: int = 5,
                  checkpoint_freq: int = 1,
                  use_tensorboard: bool = True,
-                 run_name: Optional[str] = None):
+                 run_name: Optional[str] = None,
+                 mesh: Optional["jax.sharding.Mesh"] = None,
+                 profile_dir: Optional[str] = None):
         if model_type not in MODEL_TYPES:
             raise KeyError(f"unknown model type {model_type!r}; "
                            f"one of {sorted(MODEL_TYPES)}")
@@ -67,6 +69,21 @@ class Trainer:
         env_params, model_cfg, raw = load_experiment(model_type, config_dir)
         if env_overrides:
             env_params = env_params.replace(**env_overrides).validate()
+            # re-derive the geometry-coupled model fields (grid size, mask
+            # planes, feature widths) so env sliders/overrides can't desync
+            # the model heads from the environment (the reference rebuilds
+            # the model from env_config on every run, utils.py:262-314)
+            from placement_tpu.agent.policy import model_config_for
+            arch = {f.name: getattr(model_cfg, f.name)
+                    for f in dataclasses.fields(model_cfg)}
+            geom = model_config_for(env_params, model_type)
+            for f in ("height", "width", "num_orientations",
+                      "max_num_components", "max_num_nets",
+                      "max_num_pins_per_component",
+                      "component_feature_vector_width",
+                      "pin_feature_vector_width"):
+                arch[f] = getattr(geom, f)
+            model_cfg = type(model_cfg)(**arch)
         if model_overrides:
             model_cfg = dataclasses.replace(model_cfg, **model_overrides)
         self.env_params = env_params
@@ -85,6 +102,19 @@ class Trainer:
                                       save_interval=checkpoint_freq)
         self.logger = MetricsLogger(self.run_dir,
                                     use_tensorboard=use_tensorboard)
+        # Data-parallel scale-out (SURVEY §2.4): boards shard over the mesh's
+        # "dp" axis, params replicate, gradients psum — shard_learner wires
+        # the shardings; everything else in this class is layout-agnostic.
+        self.mesh = mesh
+        self._place = None
+        self._mesh_step = None
+        if mesh is not None:
+            from placement_tpu.parallel.mesh import shard_learner
+            self._place, self._mesh_step = shard_learner(self.learner, mesh)
+        self._profiler = None
+        if profile_dir:
+            from placement_tpu.utils.profiling import trace_iterations
+            self._profiler = trace_iterations(profile_dir)
         self._write_params()
 
     # -- persistence ---------------------------------------------------------
@@ -125,13 +155,21 @@ class Trainer:
         ``stop={"training_iteration": 1}``, experiments/PPO/PPO.py:42)."""
         if state is None:
             state = self.init_state(seed)
-        step_fn = self.learner.jitted_train_step()
+        if self._place is not None:
+            state = self._place(state)
+            step_fn = self._mesh_step
+        else:
+            step_fn = self.learner.jitted_train_step()
         start = int(state.steps) // max(self.ppo_config.train_batch, 1)
         row: Dict[str, float] = {}
         for it in range(start + 1, start + num_iterations + 1):
+            if self._profiler is not None:
+                self._profiler.maybe_start(it - start)
             state, metrics = step_fn(state)
             row = self.logger.log(it, int(jax.device_get(state.steps)),
                                   metrics)
+            if self._profiler is not None:
+                self._profiler.maybe_stop(it - start)
             self.ckpt.save(it, state)
             if on_iteration is not None:
                 on_iteration(it, row)
@@ -144,6 +182,8 @@ class Trainer:
                            final_metrics=row, state=state)
 
     def close(self) -> None:
+        if self._profiler is not None:
+            self._profiler.close()
         self.logger.close()
         self.ckpt.close()
 

@@ -50,8 +50,14 @@ I32 = jnp.int32
 
 
 def supports(params: EnvParams) -> bool:
-    """Whether the fused kernel covers this configuration."""
-    return params.variant == Variant.PIN
+    """Whether the fused kernel covers this configuration.
+
+    PIN_SPATIAL shares the PIN dynamics and reward exactly (the reference
+    files are ~95% line-identical; only the observation builders differ,
+    dummy_env_rectangular_pin_spatial.py:1663-1698) and this rollout path
+    materializes no observations, so both pin variants run the same kernel.
+    """
+    return params.variant in (Variant.PIN, Variant.PIN_SPATIAL)
 
 
 # ---------------------------------------------------------------------------

@@ -101,3 +101,35 @@ def test_dryrun_multichip_entrypoint():
     sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[2]))
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_trainer_with_mesh_and_profiler(tmp_path):
+    """The Trainer's mesh + profiling wiring (experiments/ppo.py
+    --data-parallel / --profile-dir): 2 iterations on the 8-device mesh
+    produce finite metrics, and the jax.profiler trace lands on disk."""
+    from placement_tpu.agent.trainer import Trainer
+
+    mesh = pmesh.make_mesh(8)
+    trainer = Trainer(
+        "rectangle_pin",
+        results_root=str(tmp_path),
+        ppo_config=PPOConfig(num_envs=16, unroll_length=8,
+                             minibatch_size=16, num_sgd_iter=2),
+        env_overrides=dict(height=6, width=6,
+                           min_component_w=2, max_component_w=3,
+                           min_component_h=2, max_component_h=3,
+                           max_num_components=3, min_num_components=2,
+                           min_num_nets=2, max_num_nets=2,
+                           min_num_pins_per_net=2, max_num_pins_per_net=3,
+                           reward_type="centroid"),
+        use_tensorboard=False,
+        mesh=mesh,
+        profile_dir=str(tmp_path / "trace"))
+    rows = []
+    trainer.run(num_iterations=3, seed=0,
+                on_iteration=lambda it, row: rows.append(row))
+    trainer.close()
+    assert len(rows) == 3
+    assert np.isfinite(rows[-1]["episode_reward_mean"])
+    trace_files = list((tmp_path / "trace").rglob("*"))
+    assert any(f.is_file() for f in trace_files), trace_files

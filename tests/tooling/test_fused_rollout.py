@@ -132,6 +132,32 @@ def test_fused_kernel_beam_both_reward():
     assert abs(fused_mean - pooled_mean) < 0.15, (fused_mean, pooled_mean)
 
 
+def test_fused_kernel_pin_spatial_variant():
+    """The spatial variant runs the same kernel (identical dynamics/reward;
+    observations are not materialized on the rollout path): exact episode
+    accounting and reward distribution agreement with the pooled path on
+    the flagship spatial config."""
+    from placement_tpu.utils.config import load_experiment as _load
+    params, _, _ = _load("rectangle_spatial_pin")
+    assert fused_rollout.supports(params)
+    batch, steps = 32, 25
+    leaves = fused_rollout.init_leaves(params, jax.random.PRNGKey(21), batch)
+    fn = fused_rollout.make_fused_rollout(params, batch, steps,
+                                          block=batch, interpret=True)
+    _, rsum, dcnt = fn(leaves, 555)
+    assert int(dcnt) == batch * (steps // 5)
+    fused_mean = float(rsum) / int(dcnt)
+
+    chunk = jax.jit(pooled.rollout_chunk(params, random_action,
+                                         2 * steps, 2 * steps // 5 + 2))
+    reset_b = jax.jit(jax.vmap(lambda k: core.reset(params, k)))
+    states = reset_b(jax.random.split(jax.random.PRNGKey(22), 64))
+    _, _, r, d, wrapped = chunk(states, jax.random.PRNGKey(23))
+    assert int(wrapped) == 0
+    pooled_mean = float(r) / int(d)
+    assert abs(fused_mean - pooled_mean) < 0.15, (fused_mean, pooled_mean)
+
+
 def test_fused_reward_distribution_matches_pooled(fused_run):
     """Mean episode reward of the fused kernel agrees with the pure-JAX
     pooled path within sampling error (independent PRNG streams)."""
