@@ -52,3 +52,21 @@ def test_intersections_do_not_regress():
     first10 = [float(r[col]) for r in rows[:10]]
     last10 = [float(r[col]) for r in rows[-10:]]
     assert (sum(last10) / len(last10)) <= (sum(first10) / len(first10))
+
+
+def test_plot_curves_renders(tmp_path):
+    """experiments/learning_curve.py's plotting path renders a PNG from
+    synthetic rows (no training), so artifact regeneration can't rot."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "learning_curve", ART.parents[1] / "learning_curve.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    rows = [{"training_iteration": i,
+             "episode_reward_mean": -2.0 + i * 0.01,
+             "custom_metrics/normalized_wirelengths_mean": 2.5 - i * 0.01,
+             "custom_metrics/num_intersections_mean": 0.7}
+            for i in range(1, 31)]
+    out = tmp_path / "curve.png"
+    mod.plot_curves(rows, -2.13, str(out), "synthetic")
+    assert out.stat().st_size > 10_000
