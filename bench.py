@@ -7,12 +7,12 @@ equivalent of the reference's random-policy rollout loop
 (agent/random/random_policy_rectangular_pin.py:25-59), which is the pure-env
 throughput the baseline targets (>= 100k env-steps/s/chip).
 
-Two implementations are timed and the better one reported:
+Two implementations, best-of reported:
   1. the single-kernel Pallas rollout (ops/fused_rollout.py — action
-     sampling, placement, centroid reward, and in-kernel instance
-     regeneration fused into ONE kernel; ~12M steps/s/chip), and
-  2. the pure-JAX pooled-auto-reset path (env/pooled.py; ~500k steps/s/chip),
-     exercised only if wall-clock budget remains.
+     sampling, placement, routing reward, and in-kernel instance
+     regeneration fused into ONE kernel; ~17.5M steps/s/chip), and
+  2. the pure-JAX pooled-auto-reset path (env/pooled.py; ~470k
+     steps/s/chip) as a fallback if the fused path fails fast.
 
 Timing is honest: every chunk's output feeds the next chunk's input and an
 accumulated-reward scalar is fetched to the host at the end, so asynchronous
@@ -191,24 +191,14 @@ def main():
     env_params, _, _ = load_experiment("rectangle_pin")
     states = _dummy_states(env_params, BATCH)
 
-    # Pooled pure-JAX path FIRST: modest number (~5x baseline) but a small,
-    # quick-compiling program — bank it so the watchdog always has
-    # something to emit. (Round-2 postmortem: on a slow-compile day the
-    # fused path alone ate the whole budget -> rc=3, no number.)
-    _note(f"devices={jax.devices()}; starting pooled path")
-    _phase(max(_remaining() - 190, 60))
-    try:
-        RESULTS["pooled_jax"] = bench_pooled(env_params, states)
-    except PhaseTimeout:
-        _note("pooled path timed out")
-    except Exception as e:
-        _note(f"pooled path failed: {type(e).__name__}: {e}")
-    _note(f"pooled done: {RESULTS.get('pooled_jax')}")
-
-    # Fused Pallas kernel: ~30x the pooled number when it gets through
-    # (client compile ~9 s; first-call server warmup 100-300 s on bad days).
-    _note("starting fused path")
-    _phase(_remaining() - 20)
+    # Fused Pallas kernel FIRST with nearly the whole budget: it is the
+    # headline number (~17.5M steps/s), its compiled artifact DOES persist
+    # across processes on this platform (cold ~350 s, warm ~20 s), while
+    # the pooled XLA program recompiles every process (~330 s, never
+    # cached) — so running pooled first only burned budget (measured both
+    # orders on-chip, 2026-08-21).
+    _note(f"devices={jax.devices()}; starting fused path")
+    _phase(_remaining() - 25)
     try:
         RESULTS["fused_pallas"] = bench_fused(env_params, states)
     except PhaseTimeout:
@@ -216,6 +206,19 @@ def main():
     except Exception as e:
         _note(f"fused path failed: {type(e).__name__}: {e}")
     _note(f"fused done: {RESULTS.get('fused_pallas')}")
+
+    # Pooled pure-JAX fallback: only worth attempting if the fused path
+    # failed fast (its ~330 s uncached compile needs most of the budget).
+    if not RESULTS.get("fused_pallas") and _remaining() > 60:
+        _note("starting pooled path")
+        _phase(_remaining() - 15)
+        try:
+            RESULTS["pooled_jax"] = bench_pooled(env_params, states)
+        except PhaseTimeout:
+            _note("pooled path timed out")
+        except Exception as e:
+            _note(f"pooled path failed: {type(e).__name__}: {e}")
+        _note(f"pooled done: {RESULTS.get('pooled_jax')}")
     _emit_and_exit()
 
 
