@@ -38,7 +38,7 @@ def main() -> None:
                    help="skip post-training rollout export")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard the env batch over all local devices "
-                        "(1-D dp mesh; num-envs must divide device count)")
+                        "(1-D dp mesh; device count must divide num-envs)")
     p.add_argument("--profile-dir", type=str, default=None,
                    help="capture a jax.profiler trace of iterations 2-3 "
                         "into this directory (TensorBoard profile plugin)")

@@ -63,4 +63,12 @@ def simulate(params: EnvParams, key, num_episodes: int, batch: int = None):
     _, emitted = jax.lax.scan(acc_fn, jnp.zeros((batch,)), (rewards, dones))
     flat = emitted.reshape(-1)
     flat = flat[~jnp.isnan(flat)]
+    if flat.shape[0] < num_episodes:
+        # Long-episode configs can complete fewer than num_episodes within
+        # the scan window; silently returning fewer would bias any baseline
+        # mean computed from the result.
+        raise ValueError(
+            f"simulate completed only {flat.shape[0]} episodes "
+            f"(< requested {num_episodes}) within {max_steps} steps at "
+            f"batch={batch}; raise `batch` or lower `num_episodes`")
     return flat[:num_episodes]

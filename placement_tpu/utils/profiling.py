@@ -46,7 +46,7 @@ def trace(logdir: str):
 
 
 class trace_iterations:
-    """Trace a half-open iteration window ``[first, last]``.
+    """Trace the inclusive iteration window ``[first, last]``.
 
     Call ``maybe_start(it)`` before an iteration and ``maybe_stop(it)``
     after it; the trace spans iterations ``first..last`` inclusive.

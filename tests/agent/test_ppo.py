@@ -61,6 +61,19 @@ def test_random_policy_simulate():
     assert (r >= 1).all() and (r <= 9).all()
 
 
+def test_random_policy_simulate_shortfall_raises():
+    """Asking for more episodes than the scan window can complete must be a
+    hard error, not a silently shorter result (the learning-curve baseline
+    mean depends on getting exactly num_episodes returns)."""
+    import pytest
+    from placement_tpu.agent.random_policy import simulate
+    params = EnvParams(variant=Variant.SQUARE, height=6, width=6,
+                       component_n=2)
+    # batch=2, <=9 episodes each within area+2 steps -> <=~25 episodes max
+    with pytest.raises(ValueError, match="completed only"):
+        simulate(params, jax.random.PRNGKey(0), num_episodes=5000, batch=2)
+
+
 def test_episode_returns_not_truncated_by_window():
     """Returns accumulate ACROSS rollout windows: the 10x10 square env packs
     ~17-25 unit-reward placements per episode, far more than the 8-step
