@@ -49,6 +49,68 @@ F32 = jnp.float32
 I32 = jnp.int32
 
 
+#: Size envelope for the fused kernel (see ``envelope_report``). The kernel
+#: unrolls trace-time loops and holds [A, A] cover matrices in VMEM, so cost
+#: scales super-linearly in several dimensions; beyond these limits it would
+#: hit VMEM/compile-time walls deep inside Mosaic instead of failing cleanly.
+#: Limits carry ~1.5-2x headroom over the largest hardware-validated configs
+#: (flagship A=100/C=5/P=18; parity A=100/C=6/P=20/8 footprints).
+ENVELOPE = {
+    "area": 144,          # [A, A] covers/tri matrices + [block, A] rows
+    "footprints": 12,     # one [A, A] matrix + matmul per (h, w) combo
+    "components": 8,      # O(C^2) sorting network per net, O(P*C) rank loops
+    "pins": 48,           # O(P^2) crossing pairs unrolled at trace time
+    "pins_per_component": 16,   # PPC^2 cell-permutation network, x C
+    "beam_width": 4,      # bw^2 candidates per beam round, each lex-compared
+    "vmem_bytes": 12 * 2**20,   # coarse working-set estimate at block=128
+}
+
+
+def _footprints(params: EnvParams):
+    combos = {(h, w)
+              for h in range(params.min_component_h,
+                             params.max_component_h + 1)
+              for w in range(params.min_component_w,
+                             params.max_component_w + 1)}
+    return sorted(combos | {(w, h) for (h, w) in combos})
+
+
+def envelope_report(params: EnvParams, block: int = 128):
+    """Check ``params`` against the fused kernel's size envelope.
+
+    Returns ``(ok, reasons)`` where ``reasons`` lists every violated limit.
+    The envelope exists because the kernel's cost drivers are trace-time:
+    a web-app-maximum config (30x30 grid, 40 components, 10 nets x 10 pins)
+    would build 900x900 cover matrices and unroll ~10k crossing-pair tests,
+    blowing VMEM and compile time — it must be rejected here, before
+    ``pallas_call``, so callers fall back to the pooled pure-JAX path.
+    """
+    reasons = []
+    if params.variant not in (Variant.PIN, Variant.PIN_SPATIAL):
+        reasons.append(f"variant {params.variant} (PIN variants only)")
+        return False, reasons
+    a, c, p = params.area, params.max_components, params.max_pins
+    ppc = params.max_num_pins_per_component
+    nf = len(_footprints(params))
+    bw = int(params.reward_beam_width)
+    checks = [
+        ("area", a), ("footprints", nf), ("components", c), ("pins", p),
+        ("pins_per_component", ppc),
+    ]
+    if params.reward_type in ("beam", "both"):
+        checks.append(("beam_width", bw))
+    for name, value in checks:
+        if value > ENVELOPE[name]:
+            reasons.append(f"{name}={value} > {ENVELOPE[name]}")
+    # coarse VMEM estimate: cover/tri matrices + the per-block row working
+    # set (carry + fresh-instance copy + routing temporaries, ~3x carry)
+    vmem = 4 * ((nf + 1) * a * a
+                + 3 * block * (4 * a + 9 * p + 2 * c + c * ppc))
+    if vmem > ENVELOPE["vmem_bytes"]:
+        reasons.append(f"vmem_estimate={vmem} > {ENVELOPE['vmem_bytes']}")
+    return not reasons, reasons
+
+
 def supports(params: EnvParams) -> bool:
     """Whether the fused kernel covers this configuration.
 
@@ -56,8 +118,11 @@ def supports(params: EnvParams) -> bool:
     files are ~95% line-identical; only the observation builders differ,
     dummy_env_rectangular_pin_spatial.py:1663-1698) and this rollout path
     materializes no observations, so both pin variants run the same kernel.
+    Configurations outside ``ENVELOPE`` return False (see
+    ``envelope_report``) and callers fall back to ``env.pooled``.
     """
-    return params.variant in (Variant.PIN, Variant.PIN_SPATIAL)
+    ok, _ = envelope_report(params)
+    return ok
 
 
 # ---------------------------------------------------------------------------
@@ -198,10 +263,7 @@ def _build_kernel(params: EnvParams, num_steps: int, block: int):  # noqa: compl
     lam_i = float(params.weight_num_intersections)
     penalty = -(lam_w * (params.max_wirelength / wl_norm)
                 + lam_i * (params.max_num_intersections / int_norm))
-    combos = sorted({(h, w) for h in range(minH, maxH + 1)
-                     for w in range(minW, maxW + 1)}
-                    | {(w, h) for h in range(minH, maxH + 1)
-                       for w in range(minW, maxW + 1)})
+    combos = _footprints(params)
     B = block
 
     def kernel(seed_ref,  # noqa: complexity — one fused rollout program by design
@@ -651,8 +713,11 @@ def make_fused_rollout(params: EnvParams, batch: int, num_steps: int,
     `leaves` is the dict from `init_leaves`; `seed` an i32 scalar array that
     must differ between calls (it seeds the in-kernel hardware PRNG).
     """
-    if not supports(params):
-        raise ValueError("fused rollout supports the PIN variant only")
+    ok, reasons = envelope_report(params, block=min(block, batch))
+    if not ok:
+        raise ValueError(
+            "configuration outside the fused-kernel envelope "
+            f"({'; '.join(reasons)}); use the env.pooled path instead")
     block = min(block, batch)
     if batch % block:
         raise ValueError("batch must be divisible by block")

@@ -205,6 +205,21 @@ def _at(arr, idx, iota_m):
     return jnp.sum(jnp.where(iota_m == idx, arr, 0.0), axis=1, keepdims=True)
 
 
+def _colsel(cond, a, b):
+    """``jnp.where`` for a ``[B, 1]`` bool condition over wider operands.
+
+    Mosaic cannot lower a lane-broadcast select on i1 vectors (the same
+    class the f32 ``vis`` mask works around), so re-materialize the
+    condition at the operands' full shape via an f32 broadcast before
+    selecting. Value-identical to ``jnp.where(cond, a, b)``.
+    """
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    if shape == cond.shape:
+        return jnp.where(cond, a, b)
+    m = jnp.broadcast_to(cond.astype(F32), shape)
+    return jnp.where(m > 0.0, a, b)
+
+
 def _lex_less(cost_a, pk_a, cost_b, pk_b, iota_m, M):
     """Heap ordering (routing._heap_order): (cost, path point keys
     lexicographically from position 0). Strict less — equal candidates
@@ -268,12 +283,13 @@ def _beam_net(xs, ys, present, cnt, bw: int, M: int):
             d = jnp.where(vis[k] > 0.0, BIG,
                           jnp.sqrt((xs - curx[k]) ** 2
                                    + (ys - cury[k]) ** 2))
-            taken = jnp.zeros((B, M), bool)
+            # f32 0/1 mask like `vis` (i1 vector selects don't lower)
+            taken = jnp.zeros((B, M), F32)
             for _c in range(bw):
-                eff = jnp.where(taken, INF2, d)
+                eff = jnp.where(taken > 0.0, INF2, d)
                 m = jnp.min(eff, axis=1, keepdims=True)
                 j = _first_where(eff == m, iota_m, M)
-                taken = taken | (iota_m == j)
+                taken = jnp.maximum(taken, (iota_m == j).astype(F32))
                 nx = _at(xs, j, iota_m)
                 ny = _at(ys, j, iota_m)
                 ccost = cost[k] + jnp.where(m >= INF2, BIG, m)
@@ -306,17 +322,17 @@ def _beam_net(xs, ys, present, cnt, bw: int, M: int):
                 take = ~ctaken[i] & (
                     ~seen | _lex_less(c["cost"], c["pk"],
                                       sel["cost"], sel["pk"], iota_m, M))
-                sel = {f: jnp.where(take, c[f], sel[f]) for f in sel}
+                sel = {f: _colsel(take, c[f], sel[f]) for f in sel}
                 sel_i = jnp.where(take, i, sel_i)
                 seen = seen | ~ctaken[i]
             for i in range(len(cand)):
                 ctaken[i] = ctaken[i] | (sel_i == i)
             # freeze finished boards (count-1 expansions done)
             ncost[k] = jnp.where(active, sel["cost"], cost[k])
-            npk[k] = jnp.where(active, sel["pk"], pk[k])
-            npx[k] = jnp.where(active, sel["px"], px[k])
-            npy[k] = jnp.where(active, sel["py"], py[k])
-            nvis[k] = jnp.where(active, sel["vis"], vis[k])
+            npk[k] = _colsel(active, sel["pk"], pk[k])
+            npx[k] = _colsel(active, sel["px"], px[k])
+            npy[k] = _colsel(active, sel["py"], py[k])
+            nvis[k] = _colsel(active, sel["vis"], vis[k])
             ncurx[k] = jnp.where(active, sel["cx"], curx[k])
             ncury[k] = jnp.where(active, sel["cy"], cury[k])
         return (tuple(ncost), tuple(ncurx), tuple(ncury), tuple(nvis),
@@ -330,9 +346,9 @@ def _beam_net(xs, ys, present, cnt, bw: int, M: int):
     for k in range(1, bw):
         better = _lex_less(cost[k], pk[k], bcost, bkeys, iota_m, M)
         bcost = jnp.where(better, cost[k], bcost)
-        bkeys = jnp.where(better, pk[k], bkeys)
-        bx = jnp.where(better, px[k], bx)
-        by = jnp.where(better, py[k], by)
+        bkeys = _colsel(better, pk[k], bkeys)
+        bx = _colsel(better, px[k], bx)
+        by = _colsel(better, py[k], by)
     return bx, by
 
 

@@ -158,6 +158,71 @@ def test_fused_kernel_pin_spatial_variant():
     assert abs(fused_mean - pooled_mean) < 0.15, (fused_mean, pooled_mean)
 
 
+def test_envelope_accepts_validated_configs():
+    """Every shipped pin config sits inside the fused-kernel envelope with
+    headroom (flagship + parity-harness geometry)."""
+    import dataclasses
+    ok, reasons = fused_rollout.envelope_report(ENV_PARAMS)
+    assert ok, reasons
+    # the parity-fixture geometry (tools/record_reference.py pin_kw)
+    parity = dataclasses.replace(
+        ENV_PARAMS, min_component_h=1, max_component_h=3,
+        min_component_w=2, max_component_w=3,
+        min_num_components=3, max_num_components=6,
+        min_num_nets=2, max_num_nets=4,
+        min_num_pins_per_net=2, max_num_pins_per_net=5,
+        reward_type="both")
+    ok, reasons = fused_rollout.envelope_report(parity)
+    assert ok, reasons
+
+
+def test_envelope_rejects_webapp_max_config():
+    """The web app's maximum slider config (30x30 grid, 40 components,
+    10 nets x 10 pins) is far outside the envelope: supports() must answer
+    False and make_fused_rollout must raise a clean ValueError naming the
+    violated limits — never a Mosaic trace/compile error."""
+    import dataclasses
+    big = dataclasses.replace(
+        ENV_PARAMS, height=30, width=30,
+        min_component_h=1, max_component_h=5,
+        min_component_w=1, max_component_w=5,
+        min_num_components=10, max_num_components=40,
+        min_num_nets=2, max_num_nets=10,
+        min_num_pins_per_net=2, max_num_pins_per_net=10)
+    assert not fused_rollout.supports(big)
+    ok, reasons = fused_rollout.envelope_report(big)
+    assert not ok
+    joined = " ".join(reasons)
+    assert "area" in joined and "components" in joined and "pins" in joined
+    with pytest.raises(ValueError, match="envelope"):
+        fused_rollout.make_fused_rollout(big, 128, 10)
+    # the pooled fallback covers the same config (tiny smoke)
+    chunk = jax.jit(pooled.rollout_chunk(big, random_action, 3, 2))
+    states = jax.jit(jax.vmap(lambda k: core.reset(big, k)))(
+        jax.random.split(jax.random.PRNGKey(0), 4))
+    _, _, r, d, _ = chunk(states, jax.random.PRNGKey(1))
+    assert np.isfinite(float(r))
+
+
+def test_envelope_rejects_each_axis():
+    """Each envelope axis triggers independently with a named reason."""
+    import dataclasses
+    cases = {
+        "area": dict(height=13, width=13),
+        "components": dict(max_num_components=9),
+        "pins": dict(max_num_nets=5, max_num_pins_per_net=10,
+                     min_num_pins_per_net=2),
+        "pins_per_component": dict(max_component_h=5, max_component_w=5),
+        "beam_width": dict(reward_type="beam", reward_beam_width=5,
+                           min_num_pins_per_net=5),
+    }
+    for axis, overrides in cases.items():
+        p = dataclasses.replace(ENV_PARAMS, **overrides)
+        ok, reasons = fused_rollout.envelope_report(p)
+        assert not ok and any(r.startswith(axis + "=") for r in reasons), (
+            axis, reasons)
+
+
 def test_fused_reward_distribution_matches_pooled(fused_run):
     """Mean episode reward of the fused kernel agrees with the pure-JAX
     pooled path within sampling error (independent PRNG streams)."""
