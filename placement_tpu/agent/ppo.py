@@ -24,8 +24,8 @@ import optax
 from flax import struct
 
 from placement_tpu.agent.policy import Policy
-from placement_tpu.env import core
-from placement_tpu.env.types import EnvParams, EnvState
+from placement_tpu.env import core, pooled
+from placement_tpu.env.types import EnvParams, EnvState, Variant
 
 
 @dataclasses.dataclass(frozen=True)
@@ -46,10 +46,30 @@ class PPOConfig:
     minibatch_size: int = 128
     num_sgd_iter: int = 30
     grad_clip: Optional[float] = None
+    # Fresh-instance pool entries per board per rollout window (None =
+    # derived from the env's minimum episode length; see env/pooled.py).
+    reset_pool_size: Optional[int] = None
 
     @property
     def train_batch(self) -> int:
         return self.num_envs * self.unroll_length
+
+
+def default_pool_size(params: EnvParams, unroll_length: int) -> int:
+    """Pool entries per board so that no board exhausts its pool within one
+    rollout window under normal episode lengths (env/pooled.py contract).
+
+    The estimate divides the window by a lower bound on episode length:
+    ``min_num_components`` placements for component-sampling variants (an
+    episode can only end earlier via a mask-full board, which the
+    ``pool_wraps`` metric would surface), and the worst-case packing bound
+    ``area // (2n-1)^2`` for the square variant's fixed-size components.
+    """
+    if params.variant == Variant.SQUARE:
+        est = max(params.area // ((2 * params.component_n - 1) ** 2), 1)
+    else:
+        est = max(params.min_num_components, 1)
+    return max(min(unroll_length, unroll_length // est + 2), 2)
 
 
 class TrainState(struct.PyTreeNode):
@@ -115,17 +135,30 @@ class PPOLearner:
     # -- rollout -----------------------------------------------------------
 
     def _rollout(self, state: TrainState):
+        """Collect one rollout window with pooled auto-reset.
+
+        The naive ``vmap(core.step_autoreset)`` runs the fresh-instance
+        generator inside every step for every board (~75% of step cost,
+        env/pooled.py) — instead the pool of replacement instances is drawn
+        ONCE per window outside the scan and done boards consume pool
+        entries (``pooled.step_autoreset_pooled``). ``pool_wraps`` counts
+        boards that exhausted the pool (instance reuse); it is reported in
+        the train metrics and must stay 0 for unbiased sampling.
+        """
         env_params = self.env_params
+        pool_size = (self.cfg.reset_pool_size
+                     or default_pool_size(env_params,
+                                          self.cfg.unroll_length))
 
         def step_fn(carry, _):
-            env_states, key, ret_acc, len_acc = carry
+            env_states, counts, pool, key, ret_acc, len_acc = carry
             key, k_act = jax.random.split(key)
             obs = jax.vmap(lambda s: core.observe(env_params, s))(env_states)
             action, logp, value, dist_inputs = self.policy.act(
                 state.variables, obs, k_act)
-            next_states, reward, done, info = jax.vmap(
-                lambda s, a: core.step_autoreset(env_params, s, a))(
-                env_states, action)
+            next_states, counts, reward, done, info = (
+                pooled.step_autoreset_pooled(
+                    env_params, env_states, action, pool, counts))
             tr = Transition(obs=obs, action=action, logp=logp, value=value,
                             reward=reward, done=done,
                             dist_inputs=dist_inputs)
@@ -142,13 +175,21 @@ class PPOLearner:
             }
             ret_acc = jnp.where(done, 0.0, ret_total)
             len_acc = jnp.where(done, 0, len_total)
-            return (next_states, key, ret_acc, len_acc), (tr, metrics)
+            return (next_states, counts, pool, key, ret_acc, len_acc), (
+                tr, metrics)
 
-        key, k_roll = jax.random.split(state.key)
-        (env_states, _, ret_acc, len_acc), (traj, metrics) = jax.lax.scan(
-            step_fn,
-            (state.env_states, k_roll, state.ep_return_acc, state.ep_len_acc),
-            None, length=self.cfg.unroll_length)
+        key, k_pool, k_roll = jax.random.split(state.key, 3)
+        pool = pooled.make_pool(env_params, k_pool, pool_size,
+                                self.cfg.num_envs)
+        counts = jnp.zeros((self.cfg.num_envs,), jnp.int32)
+        (env_states, counts, _, _, ret_acc, len_acc), (traj, metrics) = (
+            jax.lax.scan(
+                step_fn,
+                (state.env_states, counts, pool, k_roll,
+                 state.ep_return_acc, state.ep_len_acc),
+                None, length=self.cfg.unroll_length))
+        metrics["pool_wraps"] = jnp.sum(
+            (counts > pool_size).astype(jnp.int32))
         # bootstrap value for the final observation
         obs = jax.vmap(lambda s: core.observe(env_params, s))(env_states)
         out = self.policy.model.apply(state.variables, obs, train=False)
@@ -288,6 +329,10 @@ class PPOLearner:
                 (roll_metrics["wirelength"] * done).sum() / n_done,
             "num_intersections_mean":
                 (roll_metrics["intersections"] * done).sum() / n_done,
+            # boards that exhausted the reset pool this window (instance
+            # reuse — must be 0 for unbiased sampling; raise
+            # reset_pool_size if it isn't)
+            "pool_wraps": roll_metrics["pool_wraps"],
         }
         new_state = state.replace(
             variables=variables, opt_state=opt_state, kl_coeff=kl_coeff,

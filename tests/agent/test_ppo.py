@@ -39,6 +39,42 @@ def test_train_step_runs():
     assert int(state2.steps) == 2 * learner.cfg.train_batch
 
 
+def test_rollout_pool_never_wraps_on_shipped_configs():
+    """The trainer rollout uses the pooled auto-reset (one generator call
+    per window, env/pooled.py); the derived pool size must be deep enough
+    that no board replays an instance on the shipped configs."""
+    from placement_tpu.agent.trainer import Trainer
+    for model_type in ("rectangle_pin", "rectangle_spatial_pin"):
+        tr = Trainer(model_type, ppo_config=small_cfg(unroll_length=16),
+                     use_tensorboard=False)
+        try:
+            learner = tr.learner
+            state = learner.init(jax.random.PRNGKey(0))
+            step = learner.jitted_train_step()
+            for _ in range(3):
+                state, metrics = step(state)
+                assert int(metrics["pool_wraps"]) == 0, model_type
+                assert int(metrics["episodes_this_iter"]) > 0
+        finally:
+            tr.close()
+
+
+def test_pool_wraps_detects_undersized_pool():
+    """An explicitly undersized pool must be surfaced by the pool_wraps
+    metric, not silently reuse instances."""
+    pol = Policy(PIN, model_config_for(PIN, "rectangle_pin"))
+    learner = PPOLearner(PIN, pol, small_cfg(unroll_length=16,
+                                             reset_pool_size=2))
+    state = learner.init(jax.random.PRNGKey(0))
+    step = learner.jitted_train_step()
+    wraps = 0
+    for _ in range(3):
+        state, metrics = step(state)
+        wraps += int(metrics["pool_wraps"])
+    # tiny-pin episodes are 2-3 placements; 16 steps >> 2 pool entries
+    assert wraps > 0
+
+
 def test_train_step_factorized():
     pol = Policy(PIN, model_config_for(PIN, "rectangle_factorized_pin"))
     learner = PPOLearner(PIN, pol, small_cfg())

@@ -1,0 +1,61 @@
+"""Multi-host execution: 2 real processes over ``jax.distributed``.
+
+BASELINE.md asks for multi-host scale-out; the CLI ships
+``--coordinator/--num-processes/--process-id`` flags wired to
+``parallel.mesh.initialize_distributed``. This test makes that code path
+real: it spawns two CPU-backend subprocesses that form a 2-process
+``jax.distributed`` world (localhost coordinator), run a cross-process
+collective and one sharded PPO train step over the global mesh, and must
+agree on every metric. (Reference analogue: the Ray actor layer replaced
+here, experiments/PPO/PPO.py:38.)
+"""
+
+import json
+import os
+import pathlib
+import socket
+import subprocess
+import sys
+
+REPO = str(pathlib.Path(__file__).resolve().parents[2])
+WORKER = str(pathlib.Path(__file__).with_name("_multihost_worker.py"))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_distributed_train_step():
+    coordinator = f"127.0.0.1:{_free_port()}"
+    env = dict(os.environ)
+    env.update(JAX_PLATFORMS="cpu", PYTHONPATH=REPO,
+               # don't inherit the parent's single-process test settings
+               XLA_FLAGS="")
+    procs = [subprocess.Popen(
+        [sys.executable, WORKER, coordinator, "2", str(i)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, cwd=REPO, env=env)
+        for i in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=420)
+            assert p.returncode == 0, (
+                f"worker rc={p.returncode}\n--- stderr ---\n"
+                f"{err.decode(errors='replace')[-4000:]}")
+            outs.append(json.loads(
+                out.decode(errors="replace").strip().splitlines()[-1]))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+    a, b = outs
+    assert a["process_count"] == b["process_count"] == 2
+    assert a["global_devices"] == b["global_devices"] == 2
+    assert a.keys() == b.keys()
+    for k in a:
+        assert abs(a[k] - b[k]) < 1e-6, (k, a[k], b[k])
+    assert a["episodes_this_iter"] > 0
+    assert a["pool_wraps"] == 0
