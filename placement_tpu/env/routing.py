@@ -19,11 +19,16 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from placement_tpu.env.types import EnvParams
 
 F32 = jnp.float32
-BIG = jnp.float32(1e9)
+# np scalar, not jnp: a module-level jnp constant would initialize the XLA
+# backend at import time, breaking jax.distributed.initialize for any CLI
+# that imports placement_tpu before calling it. Value-identical (1e9 is
+# exactly representable in f32).
+BIG = np.float32(1e9)
 
 
 def _flt():
@@ -109,7 +114,7 @@ def centroid_route(pos, mask):
 # Beam-search routing (beam_search:1356-1423)
 # ---------------------------------------------------------------------------
 
-_COORD_BASE = jnp.float32(1 << 15)
+_COORD_BASE = np.float32(1 << 15)  # np, not jnp: see BIG above
 
 
 def _point_key(pos):

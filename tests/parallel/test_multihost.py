@@ -27,6 +27,23 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+def test_import_does_not_initialize_backend():
+    """Importing the package must not initialize the XLA backend:
+    ``jax.distributed.initialize`` requires a pristine backend, and the CLI
+    imports the package before calling it (experiments/ppo.py). A stray
+    module-level ``jnp`` constant once broke this (env/routing.py BIG)."""
+    code = (
+        "import jax, jax._src.xla_bridge as xb\n"
+        "import placement_tpu.agent.trainer, placement_tpu.parallel.mesh\n"
+        "import placement_tpu.ops.fused_rollout, placement_tpu.viz.rollout\n"
+        "assert not xb._backends, 'import initialized the XLA backend'\n")
+    env = dict(os.environ)
+    env.update(JAX_PLATFORMS="cpu", PYTHONPATH=REPO, XLA_FLAGS="")
+    r = subprocess.run([sys.executable, "-c", code], env=env, cwd=REPO,
+                       capture_output=True, timeout=120)
+    assert r.returncode == 0, r.stderr.decode(errors="replace")[-2000:]
+
+
 def test_two_process_distributed_train_step():
     coordinator = f"127.0.0.1:{_free_port()}"
     env = dict(os.environ)

@@ -130,6 +130,50 @@ def _mask_to_ref(params: EnvParams, mask):
     return m
 
 
+# obs entries with genuinely fractional values (area_ratio = area/total);
+# everything else is integer-valued and compared exactly
+_FLOAT_OBS = ("all_components_feature",)
+
+
+def _assert_obs_parity(params, data, seed, tag, state, name):
+    """Our observe() vs the reference's recorded per-step obs dict
+    (_get_obs emissions, dummy_env_rectangular_pin.py:1679-1686,
+    ..._pin_spatial.py:1622-1631)."""
+    obs = core.observe(params, state)
+    compared = 0
+    for key, got in obs.items():
+        rk = f"{key}@{tag}"
+        if not _has(data, seed, rk):
+            continue
+        want = _get(data, seed, rk)
+        got = np.asarray(got)
+        assert got.shape == want.shape, (
+            f"{name} seed {seed} {key}@{tag}: shape {got.shape} "
+            f"vs reference {want.shape}")
+        msg = f"{name} seed {seed} {key}@{tag}"
+        if key in _FLOAT_OBS:
+            np.testing.assert_allclose(got.astype(np.float64), want,
+                                       rtol=1e-6, atol=1e-6, err_msg=msg)
+        else:
+            np.testing.assert_array_equal(got.astype(want.dtype), want,
+                                          err_msg=msg)
+        compared += 1
+    if params.variant != Variant.SQUARE:
+        assert compared >= 3, f"{name} seed {seed} @{tag}: obs keys missing"
+
+
+def test_fixtures_contain_observations(fixtures):
+    """Guard against silently skipping obs parity: every non-square fixture
+    must carry recorded per-step observation arrays."""
+    for name in ("rect", "pin", "pin_centroid", "pin_spatial"):
+        keys = set(fixtures[name].files)
+        assert any("@reset" in k for k in keys), name
+        assert any("all_components_feature@0" in k for k in keys), name
+    assert any("pin_grid@0" in k for k in fixtures["pin_spatial"].files)
+    assert any("component_grid@0" in k
+               for k in fixtures["pin_spatial"].files)
+
+
 @pytest.mark.parametrize("name", list(PARAMS))
 @pytest.mark.parametrize("seed", range(N_SEEDS))
 def test_trajectory_parity(fixtures, name, seed):
@@ -150,6 +194,7 @@ def _run_trajectory(fixtures, name, seed):
         _mask_to_ref(params, state.action_mask),
         _get(data, seed, "mask_reset"),
         err_msg=f"{name} seed {seed} reset mask")
+    _assert_obs_parity(params, data, seed, "reset", state, name)
 
     actions = _get(data, seed, "actions")
     rewards = _get(data, seed, "rewards")
@@ -177,6 +222,7 @@ def _run_trajectory(fixtures, name, seed):
             np.testing.assert_array_equal(
                 got, _get(data, seed, f"pmask{t}"),
                 err_msg=f"{name} seed {seed} placement_mask@{t}")
+        _assert_obs_parity(params, data, seed, t, state, name)
 
     if _has(data, seed, "wirelength"):
         assert np.isclose(float(state.info_wirelength),

@@ -11,6 +11,12 @@ with a deterministic legal-action policy, and saves, per variant:
   s{seed}/actions, rewards, dones             the episode
   s{seed}/grid{t}, mask{t}                    post-step grid / action mask
   s{seed}/wirelength, intersections           terminal info (pin variants)
+  s{seed}/<obs_key>@reset, <obs_key>@{t}      every non-grid/mask entry of
+                                              the obs dict _get_obs emits
+                                              (all_components_feature, pin
+                                              num/cat features,
+                                              component_mask, placement_mask,
+                                              pin_grid, component_grid)
 
 The parity suite (tests/parity/) replays these against the JAX stepper and
 against env/compat.py. Regenerate with:
@@ -36,6 +42,19 @@ def legal_actions(mask):
     return np.argwhere(mask == 1)
 
 
+# grid/action_mask are captured separately (grid{t}/mask{t}); everything
+# else in the obs dict is recorded verbatim for observation-level parity
+# (dummy_env_rectangular_pin.py:1679-1686, ..._pin_spatial.py:1622-1631,
+# dummy_env_rectangular.py:344-350).
+OBS_SKIP = ("grid", "action_mask")
+
+
+def record_obs(rec, tag, obs):
+    for k, v in obs.items():
+        if k not in OBS_SKIP:
+            rec[f"{k}@{tag}"] = np.asarray(v)
+
+
 def record_episode(env, seed, n_dims):
     np.random.seed(seed)
     random.seed(seed)
@@ -43,6 +62,7 @@ def record_episode(env, seed, n_dims):
     rng = np.random.RandomState(100_000 + seed)  # policy RNG, separate stream
 
     rec = {"mask_reset": np.asarray(obs["action_mask"], np.int8)}
+    record_obs(rec, "reset", obs)
     if hasattr(env, "components"):
         comps = env.components
         rec["comp_h"] = np.array([c.h for c in comps], np.int32)
@@ -72,6 +92,7 @@ def record_episode(env, seed, n_dims):
         rec[f"mask{t}"] = np.asarray(env.action_mask, np.int8)
         if hasattr(env, "placement_mask"):
             rec[f"pmask{t}"] = np.asarray(env.placement_mask, np.float32)
+        record_obs(rec, t, obs)
         t += 1
     rec["actions"] = np.stack(actions).astype(np.int32).reshape(t, n_dims)
     rec["rewards"] = np.array(rewards, np.float64)
