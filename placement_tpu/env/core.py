@@ -271,7 +271,13 @@ def component_grid_obs(params: EnvParams, state: EnvState,
     """component_grid f32[C, max_h, max_w, max_nets + 1] (draw_components,
     dummy_env_rectangular_pin_spatial.py:1677-1698): channel 0 is an all-ones
     stencil for every existing component; channels 1.. one-hot the reset-time
-    (unrotated) pin positions by net."""
+    (unrotated) pin positions by net.
+
+    Shape note: the reference emits a DATA-DEPENDENT leading dim
+    (len(self.components), :1679-1686), contradicting its own declared
+    observation space (max_num_components, :500-510). This fixed-shape build
+    pads to ``max_components`` with all-zero rows; the parity suite asserts
+    row-exact equality on the valid prefix and zero padding beyond it."""
     c = params.max_components
     mh, mw = params.max_component_h, params.max_component_w
     n = params.max_num_nets
