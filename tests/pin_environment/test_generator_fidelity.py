@@ -140,3 +140,59 @@ def test_exact_sampling_same_distribution_as_compat_pipeline():
                       [hr.get(k, 0) + 1 for k in keys]])
     _, p, _, _ = stats.chi2_contingency(table)
     assert p > 1e-3, (p, keys, table)
+
+
+# ---------------------------------------------------------------------------
+# Production configs: the exact_sampling=False default is justified per
+# config (VERDICT r2 item 7), not by folklore — the fast generator's reset
+# distribution must be statistically indistinguishable from the exact
+# (reference-process) generator on every shipped pin configuration.
+# ---------------------------------------------------------------------------
+
+def _reset_signatures(params, seed, n):
+    """Per-reset allocation signature: sorted per-component pin counts +
+    per-net pin counts (the only quantities the capped multinomials touch)."""
+    import dataclasses
+    from placement_tpu.env import core
+    keys = jax.random.split(jax.random.PRNGKey(seed), n)
+    states = jax.jit(jax.vmap(lambda k: core.reset(params, k)))(keys)
+    comp = np.asarray(states.pin_comp)
+    net = np.asarray(states.pin_net)
+    c = params.max_components
+    n_nets = params.max_num_nets
+    sigs = []
+    for b in range(n):
+        pc = tuple(sorted(int((comp[b] == i).sum()) for i in range(c)))
+        nc = tuple(int((net[b] == i).sum()) for i in range(n_nets))
+        sigs.append(pc + nc)
+    return _hist(sigs)
+
+
+def _shipped_pin_params():
+    import dataclasses
+    from placement_tpu.utils.config import MODEL_TYPES, load_experiment
+    uniq = {}
+    for mt in sorted(MODEL_TYPES):
+        p, _, _ = load_experiment(mt)
+        if p.has_pins:
+            uniq.setdefault(p, mt)
+    return sorted(uniq.items(), key=lambda kv: kv[1])
+
+
+def test_shipped_configs_fast_sampler_is_faithful():
+    import dataclasses
+    n = 2048
+    configs = _shipped_pin_params()
+    assert len(configs) >= 2          # PIN + PIN_SPATIAL flagship geometries
+    for params, mt in configs:
+        fast = dataclasses.replace(params, exact_sampling=False)
+        exact = dataclasses.replace(params, exact_sampling=True)
+        h_fast = _reset_signatures(fast, 0, n)
+        h_exact = _reset_signatures(exact, 1, n)
+        h_exact2 = _reset_signatures(exact, 2, n)
+        noise = _tvd(h_exact, h_exact2, n)      # same-distribution floor
+        dev = _tvd(h_fast, h_exact, n)
+        assert dev <= noise + 0.03, (
+            f"{mt}: fast-vs-exact TVD {dev:.4f} exceeds sampling noise "
+            f"{noise:.4f} — the fast sampler deviates on a SHIPPED config; "
+            f"flip its default to exact_sampling=True or fix the sampler")
