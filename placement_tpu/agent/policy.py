@@ -87,7 +87,8 @@ class Policy:
 
     # -- acting ------------------------------------------------------------
 
-    def act(self, variables, obs, key, deterministic: bool = False):
+    def act(self, variables, obs, key, deterministic: bool = False
+            ) -> "tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]":
         """obs (batched) -> (action i32[B,3], logp f32[B], value f32[B],
         dist_inputs). dist_inputs is what PPO stores to rebuild the behavior
         distribution (masked logits, or the encoding for factorized heads) —
@@ -110,7 +111,7 @@ class Policy:
     # -- training-time evaluation -----------------------------------------
 
     def evaluate(self, variables, obs, actions, behavior_inputs, key,
-                 train: bool = True):
+                 train: bool = True) -> tuple:
         """Recompute (logp, entropy, value, kl_vs_behavior, bn_updates) for
         stored transitions under the current parameters."""
         out, updates = self._apply(variables, obs, train=train)

@@ -245,7 +245,8 @@ class PPOLearner:
 
     # -- one full train iteration ------------------------------------------
 
-    def train_step(self, state: TrainState):
+    def train_step(self, state: TrainState
+                   ) -> "tuple[TrainState, dict]":
         cfg = self.cfg
         state, traj, last_value, roll_metrics = self._rollout(state)
         advantages, value_targets = self._gae(traj, last_value)
@@ -339,5 +340,5 @@ class PPOLearner:
             key=key, steps=state.steps + cfg.train_batch)
         return new_state, metrics
 
-    def jitted_train_step(self):
+    def jitted_train_step(self) -> Any:
         return jax.jit(self.train_step, donate_argnums=(0,))

@@ -16,7 +16,7 @@ from placement_tpu.env.types import EnvParams, Variant
 from placement_tpu.env.wrappers import decode_flat_action
 
 
-def random_action(key, params: EnvParams, action_mask):
+def random_action(key, params: EnvParams, action_mask) -> jnp.ndarray:
     """Uniform over valid actions; mask [B, O, H, W] (or [B, H, W])."""
     b = action_mask.shape[0]
     flat = action_mask.reshape(b, -1)
@@ -29,7 +29,8 @@ def random_action(key, params: EnvParams, action_mask):
     return decode_flat_action(params, idx)
 
 
-def simulate(params: EnvParams, key, num_episodes: int, batch: int = None):
+def simulate(params: EnvParams, key, num_episodes: int,
+             batch: int = None) -> jnp.ndarray:
     """Play ``num_episodes`` random-policy episodes; returns episode returns
     f32[num_episodes] (random_policy_square.py:25-59 semantics, batched)."""
     batch = batch or min(num_episodes, 256)

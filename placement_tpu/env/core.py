@@ -219,7 +219,8 @@ def components_feature(params: EnvParams, state: EnvState) -> jnp.ndarray:
     return jnp.where(state.comp_valid[:, None], feat, 0.0)
 
 
-def pins_feature(params: EnvParams, state: EnvState):
+def pins_feature(params: EnvParams, state: EnvState
+                 ) -> "tuple[jnp.ndarray, jnp.ndarray]":
     """all_pins_num_feature f32[C, ppc, 4] + all_pins_cat_feature f32[C, ppc, 1]
     for the PIN variant, scattered by (component_id, chunk-local pin_id)
     (update_all_pins_feature, dummy_env_rectangular_pin.py:1521-1542)."""
@@ -362,7 +363,7 @@ def observe(params: EnvParams, state: EnvState) -> Dict[str, jnp.ndarray]:
 # Auto-reset batched stepping
 # ---------------------------------------------------------------------------
 
-def step_autoreset(params: EnvParams, state: EnvState, action):
+def step_autoreset(params: EnvParams, state: EnvState, action) -> tuple:
     """Step; boards that finish are transparently re-seeded with a fresh
     instance (the returned obs is the first obs of the new episode, gym
     AutoReset convention). Pure function of (state, action)."""
@@ -377,7 +378,7 @@ def step_autoreset(params: EnvParams, state: EnvState, action):
     return new_state, reward, done, info
 
 
-def make_batched(params: EnvParams):
+def make_batched(params: EnvParams) -> tuple:
     """Jitted batched (reset, step, observe) closures."""
     reset_b = jax.jit(jax.vmap(lambda k: reset(params, k)))
     step_b = jax.jit(jax.vmap(lambda s, a: step_autoreset(params, s, a)))
@@ -389,7 +390,7 @@ import functools
 
 
 @functools.lru_cache(maxsize=64)
-def make_jitted(params: EnvParams):
+def make_jitted(params: EnvParams) -> tuple:
     """Jitted single-board (reset, step, observe) closures, cached per
     params. ``step`` here is the raw transition (no auto-reset), the shape
     used by the parity test-suites."""

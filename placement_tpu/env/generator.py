@@ -118,7 +118,7 @@ def _capped_multinomial(key, n_trials, probs, caps, max_trials: int):
     return counts
 
 
-def generate_components(key, params: EnvParams):
+def generate_components(key, params: EnvParams) -> tuple:
     """Sample component count and sizes (generate_components:983-1004)."""
     c = params.max_components
     k_n, k_h, k_w = jax.random.split(key, 3)
@@ -339,7 +339,7 @@ def _place_pins_on_components(key, params: EnvParams, comp_h, comp_w,
     return rel_x.astype(I32), rel_y.astype(I32)
 
 
-def generate_instance(key, params: EnvParams):
+def generate_instance(key, params: EnvParams) -> dict:
     """Full instance draw. Returns a dict of state fields (pre-mask)."""
     c = params.max_components
     p = params.max_pins

@@ -84,7 +84,7 @@ def step_autoreset_pooled(
 
 
 def rollout_chunk(params: EnvParams, policy_fn, chunk_len: int,
-                  pool_size: int, slice_size: int = 4):
+                  pool_size: int, slice_size: int = 4) -> "Callable":
     """Build a jittable pooled-rollout chunk.
 
     ``policy_fn(key, params, mask) -> actions`` (e.g.

@@ -40,7 +40,8 @@ def _flt():
     return jax.dtypes.canonicalize_dtype(jnp.float64)
 
 
-def net_pin_table(params: EnvParams, pin_abs_x, pin_abs_y, pin_net):
+def net_pin_table(params: EnvParams, pin_abs_x, pin_abs_y,
+                  pin_net) -> "tuple[jnp.ndarray, jnp.ndarray]":
     """Scatter the flat pin table into per-net position tensors.
 
     Returns (pos f32[N, M, 2], mask bool[N, M], counts i32[N]). Slot order
@@ -70,7 +71,7 @@ def net_pin_table(params: EnvParams, pin_abs_x, pin_abs_y, pin_net):
 # Centroid routing (route_pins_centroid:1296-1324)
 # ---------------------------------------------------------------------------
 
-def centroid_route(pos, mask):
+def centroid_route(pos, mask) -> tuple:
     """Segments f32[N, M, 4] + validity bool[N, M] + exact scaled form.
 
     A net with exactly two pins is routed directly pin->pin; otherwise every
@@ -132,7 +133,7 @@ def _heap_order(cost, path_keys):
     return jnp.lexsort(keys + (cost,))
 
 
-def beam_search_net(pos, mask, beam_width: int, start):
+def beam_search_net(pos, mask, beam_width: int, start) -> jnp.ndarray:
     """Shortest pin-visiting path for one net -> path indices i32[M].
 
     Each round, up to ``beam_width`` frontier paths each expand to their
@@ -201,7 +202,7 @@ def beam_search_net(pos, mask, beam_width: int, start):
     return paths[best]
 
 
-def pin_outlier_index(pos, mask):
+def pin_outlier_index(pos, mask) -> jnp.ndarray:
     """Index of the pin farthest from the net centroid (pin_outlier:1326;
     np.argmax => first max wins ties)."""
     count = jnp.sum(mask)
@@ -211,7 +212,7 @@ def pin_outlier_index(pos, mask):
     return jnp.argmax(d)
 
 
-def beam_route(params: EnvParams, pos, mask, beam_width: int):
+def beam_route(params: EnvParams, pos, mask, beam_width: int) -> tuple:
     """Routes for all nets via beam search -> (segments f32[N, M-1, 4],
     validity bool[N, M-1])."""
     m = params.max_num_pins_per_net
@@ -269,7 +270,7 @@ def _pairwise_intersect(seg_a, seg_b):
     return same | ((det != 0) & opp_rs & opp_pq)
 
 
-def count_crossings(segs, seg_valid, scale=None):
+def count_crossings(segs, seg_valid, scale=None) -> jnp.ndarray:
     """Number of intersecting cross-net segment pairs.
 
     ``segs`` f32[N, M, 4], ``seg_valid`` bool[N, M]. Only pairs from
@@ -301,7 +302,7 @@ def count_crossings(segs, seg_valid, scale=None):
     return jnp.sum(hit & pair_ok).astype(jnp.int32)
 
 
-def wirelength(segs, seg_valid):
+def wirelength(segs, seg_valid) -> jnp.ndarray:
     d = jnp.hypot(segs[..., 0] - segs[..., 2], segs[..., 1] - segs[..., 3])
     return jnp.sum(jnp.where(seg_valid, d, 0.0))
 
@@ -311,7 +312,7 @@ def wirelength(segs, seg_valid):
 # ---------------------------------------------------------------------------
 
 def terminal_reward(params: EnvParams, pin_abs_x, pin_abs_y, pin_net,
-                    placed_all):
+                    placed_all) -> tuple:
     """Reward + (info_wirelength, info_intersections) for an episode end.
 
     ``placed_all`` False selects the worst-case penalty branch

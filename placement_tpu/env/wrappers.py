@@ -20,7 +20,7 @@ def flat_action_size(params: EnvParams) -> int:
     return params.num_orientations * params.height * params.width
 
 
-def decode_flat_action(params: EnvParams, flat):
+def decode_flat_action(params: EnvParams, flat) -> jnp.ndarray:
     """flat i32[...] -> (orientation, x, y) i32[..., 3]."""
     h, w = params.height, params.width
     if params.variant == Variant.SQUARE:
@@ -32,7 +32,7 @@ def decode_flat_action(params: EnvParams, flat):
     return jnp.stack([o, x, y], axis=-1).astype(jnp.int32)
 
 
-def encode_flat_action(params: EnvParams, action):
+def encode_flat_action(params: EnvParams, action) -> jnp.ndarray:
     """(o, x, y) i32[..., 3] -> flat id (inverse of decode)."""
     h, w = params.height, params.width
     o, x, y = action[..., 0], action[..., 1], action[..., 2]
@@ -41,7 +41,7 @@ def encode_flat_action(params: EnvParams, action):
     return o * h * w + x * w + y
 
 
-def flatten_mask(params: EnvParams, mask):
+def flatten_mask(params: EnvParams, mask) -> jnp.ndarray:
     """action_mask [..., O, H, W] (or [..., H, W] square) -> [..., A]."""
     a = flat_action_size(params)
     return mask.reshape(mask.shape[:mask.ndim - (2 if params.variant == Variant.SQUARE else 3)] + (a,))

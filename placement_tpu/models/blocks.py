@@ -80,7 +80,7 @@ class SelfAttention(nn.Module):
         return jax.nn.relu(out)
 
 
-def mask_logits(logits, mask):
+def mask_logits(logits, mask) -> jnp.ndarray:
     """logits += max(log(mask), f32.min) (square_model.py:137-139)."""
     neg = jnp.finfo(jnp.float32).min
     return logits + jnp.maximum(jnp.log(jnp.maximum(mask, 0.0)), neg)

@@ -25,21 +25,21 @@ def _mask(logits, m):
 # Categorical (factorized_action_distributions.py:21-104)
 # ---------------------------------------------------------------------------
 
-def cat_sample(key, logits):
+def cat_sample(key, logits) -> jnp.ndarray:
     return jax.random.categorical(key, logits, axis=-1)
 
 
-def cat_argmax(logits):
+def cat_argmax(logits) -> jnp.ndarray:
     return jnp.argmax(logits, axis=-1)
 
 
-def cat_logp(logits, x):
+def cat_logp(logits, x) -> jnp.ndarray:
     logp = jax.nn.log_softmax(logits, axis=-1)
     return jnp.take_along_axis(
         logp, x[..., None].astype(jnp.int32), axis=-1)[..., 0]
 
 
-def cat_entropy(logits):
+def cat_entropy(logits) -> jnp.ndarray:
     a0 = logits - jnp.max(logits, axis=-1, keepdims=True)
     ea0 = jnp.exp(a0)
     z0 = jnp.sum(ea0, axis=-1, keepdims=True)
@@ -47,7 +47,7 @@ def cat_entropy(logits):
     return jnp.sum(p0 * (jnp.log(z0) - a0), axis=-1)
 
 
-def cat_kl(logits_p, logits_q):
+def cat_kl(logits_p, logits_q) -> jnp.ndarray:
     a0 = logits_p - jnp.max(logits_p, axis=-1, keepdims=True)
     a1 = logits_q - jnp.max(logits_q, axis=-1, keepdims=True)
     ea0, ea1 = jnp.exp(a0), jnp.exp(a1)
@@ -164,7 +164,7 @@ class Factorized:
 
     # -- API ---------------------------------------------------------------
 
-    def sample(self, key, deterministic: bool = False):
+    def sample(self, key, deterministic: bool = False) -> tuple:
         k1, k2, k3 = jax.random.split(key, 3)
         pick = (lambda k, lg: cat_argmax(lg)) if deterministic else cat_sample
         if self.order == "orientation":
@@ -183,7 +183,7 @@ class Factorized:
             o = pick(k3, o_l)
         return jnp.stack([o, x, y], axis=-1)
 
-    def logp(self, actions):
+    def logp(self, actions) -> jnp.ndarray:
         o, x, y = actions[..., 0], actions[..., 1], actions[..., 2]
         if self.order == "orientation":
             o_l, x_l, y_l = self._logits_chain_orientation(o=o, x=x)
@@ -191,7 +191,7 @@ class Factorized:
         x_l, y_l, o_l = self._logits_chain_coordinates(x=x, y=y)
         return cat_logp(x_l, x) + cat_logp(y_l, y) + cat_logp(o_l, o)
 
-    def entropy(self, key):
+    def entropy(self, key) -> jnp.ndarray:
         """Stochastic factor-sum entropy: later factors condition on a fresh
         sample of the earlier ones, as in the reference (:233-254)."""
         k1, k2 = jax.random.split(key)
@@ -209,7 +209,7 @@ class Factorized:
         _, _, o_l = self._logits_chain_coordinates(x=x, y=y)
         return cat_entropy(x_l) + cat_entropy(y_l) + cat_entropy(o_l)
 
-    def kl(self, other: "Factorized", key):
+    def kl(self, other: "Factorized", key) -> jnp.ndarray:
         """Stochastic factor-sum KL (:257-283)."""
         k1, k2 = jax.random.split(key)
         if self.order == "orientation":

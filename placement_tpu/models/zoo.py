@@ -87,7 +87,7 @@ class PlacementModel(nn.Module):
 
     cfg: ModelConfig
 
-    def setup(self):
+    def setup(self) -> None:
         cfg = self.cfg
         self.grid_conv = ConvBlocks(
             cfg.num_conv_blocks, cfg.num_conv_filters, cfg.conv_kernel_size,
@@ -225,7 +225,7 @@ class PlacementModel(nn.Module):
         tokens = self.spatial_comp_attn(tokens)
         return jnp.concatenate([ge, pe, tokens.reshape(b, -1)], axis=-1)
 
-    def encode(self, obs, train: bool = False):
+    def encode(self, obs, train: bool = False) -> jnp.ndarray:
         """Full encoding vector for the configured preset."""
         cfg = self.cfg
         t = cfg.model_type
@@ -256,7 +256,7 @@ class PlacementModel(nn.Module):
         flat_mask = obs["action_mask"].reshape(logits.shape[0], -1)
         return {"logits": mask_logits(logits, flat_mask), "value": value}
 
-    def init_all(self, obs, train: bool = False):
+    def init_all(self, obs, train: bool = False) -> jnp.ndarray:
         """__call__ plus a dummy pass through the factorized heads so that
         ``init`` creates every parameter (heads are only exercised lazily by
         the action distribution otherwise)."""
@@ -274,18 +274,18 @@ class PlacementModel(nn.Module):
 
     # factorized heads (rectangle_model_factorized.py:133-311); called via
     # module.apply(vars, ..., method="o_logits") etc.
-    def o_logits(self, enc, x_norm=None, y_norm=None):
+    def o_logits(self, enc, x_norm=None, y_norm=None) -> jnp.ndarray:
         if self.cfg.factorization == "orientation":
             return self.orientation_head(enc)
         return self.orientation_head(
             jnp.concatenate([enc, x_norm[..., None], y_norm[..., None]], -1))
 
-    def x_logits(self, enc, onehot_o=None):
+    def x_logits(self, enc, onehot_o=None) -> jnp.ndarray:
         if self.cfg.factorization == "orientation":
             return self.x_head(jnp.concatenate([enc, onehot_o], -1))
         return self.x_head(enc)
 
-    def y_logits(self, enc, onehot_o=None, x_norm=None):
+    def y_logits(self, enc, onehot_o=None, x_norm=None) -> jnp.ndarray:
         if self.cfg.factorization == "orientation":
             return self.y_head(jnp.concatenate(
                 [enc, onehot_o, x_norm[..., None]], -1))

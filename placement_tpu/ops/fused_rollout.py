@@ -75,7 +75,8 @@ def _footprints(params: EnvParams):
     return sorted(combos | {(w, h) for (h, w) in combos})
 
 
-def envelope_report(params: EnvParams, block: int = 128):
+def envelope_report(params: EnvParams,
+                    block: int = 128) -> "tuple[bool, list]":
     """Check ``params`` against the fused kernel's size envelope.
 
     Returns ``(ok, reasons)`` where ``reasons`` lists every violated limit.
@@ -204,7 +205,8 @@ def _cumsum_cols(cols):
     return out
 
 
-def centroid_reward_rows(params: EnvParams, pax, pay, pnet, npin):
+def centroid_reward_rows(params: EnvParams, pax, pay, pnet,
+                         npin) -> jnp.ndarray:
     """Centroid routing reward on row-layout tables (f32[B, 1]).
 
     Thin wrapper over ``fused_routing.centroid_wl_int`` kept for test/API
@@ -707,7 +709,8 @@ def leaves_from_states(params: EnvParams, states) -> Dict[str, jnp.ndarray]:
 
 
 def make_fused_rollout(params: EnvParams, batch: int, num_steps: int,
-                       block: int = 256, interpret: bool = False):
+                       block: int = 256,
+                       interpret: bool = False) -> "Callable":
     """Build `fn(leaves, seed) -> (leaves', reward_sum, done_count)`.
 
     `leaves` is the dict from `init_leaves`; `seed` an i32 scalar array that

@@ -50,7 +50,7 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_learner(learner, mesh: Mesh):
+def shard_learner(learner, mesh: Mesh) -> tuple:
     """Wrap a PPOLearner's train step for the mesh.
 
     Returns (shard_state_fn, train_step_fn): the former lays out a freshly
@@ -84,7 +84,7 @@ def shard_learner(learner, mesh: Mesh):
     return place, train_step
 
 
-def shard_env_batch(mesh: Mesh, states):
+def shard_env_batch(mesh: Mesh, states) -> "jax.Array":
     """Shard a batched EnvState pytree's leading axis over the mesh."""
     data = batch_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, data), states)

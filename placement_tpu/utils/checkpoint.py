@@ -59,7 +59,7 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
-    def all_steps(self):
+    def all_steps(self) -> list:
         return list(self._mgr.all_steps())
 
     def wait(self) -> None:

@@ -26,7 +26,7 @@ log = logging.getLogger(__name__)
 
 
 @contextlib.contextmanager
-def trace(logdir: str):
+def trace(logdir: str):  # noqa: annotation (contextmanager generator)
     """``with trace(dir):`` — capture a jax.profiler trace into ``dir``."""
     os.makedirs(logdir, exist_ok=True)
     started = False

@@ -39,7 +39,7 @@ def render(height: int, width: int,
            components: Sequence[ComponentRecord],
            actions: Sequence[Tuple[int, int, int]],
            ax=None, show_pins: bool = True,
-           title: Optional[str] = None):
+           title: Optional[str] = None) -> "matplotlib.figure.Figure":
     """Draw the board after replaying ``actions`` (one per component, in
     order). Returns the matplotlib figure."""
     import matplotlib
@@ -94,7 +94,7 @@ def render(height: int, width: int,
 
 def render_episode_frames(height: int, width: int,
                           components: Sequence[ComponentRecord],
-                          actions: Sequence[Tuple[int, int, int]]):
+                          actions: Sequence[Tuple[int, int, int]]) -> list:
     """One figure per placement step — the web app's 2 s/frame rollout
     animation (pages/2_…Train new agent.py)."""
     return [render(height, width, components[: t + 1], actions[: t + 1],
@@ -103,7 +103,8 @@ def render_episode_frames(height: int, width: int,
 
 
 def plot_episode_returns(returns: Sequence[float], out_path: str,
-                         title: str = "Random policy episode returns"):
+                         title: str = "Random policy episode returns"
+                         ) -> None:
     """Episode-return plot like experiments/results/*.png
     (run_policy_square.py:53-58)."""
     import matplotlib.pyplot as plt

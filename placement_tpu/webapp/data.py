@@ -82,9 +82,12 @@ def load_run(run_dir: str) -> RunSummary:
     )
 
 
-def list_runs(results_root: str = DEFAULT_RESULTS_ROOT) -> List[RunSummary]:
-    """All runs, newest first (Trained-agents page ordering)."""
-    ppo_root = os.path.join(results_root, "PPO")
+def list_runs(results_root: Optional[str] = None) -> List[RunSummary]:
+    """All runs, newest first (Trained-agents page ordering).
+
+    ``results_root`` resolves at call time (module attribute, not a bound
+    default) so tests can repoint ``DEFAULT_RESULTS_ROOT``."""
+    ppo_root = os.path.join(results_root or DEFAULT_RESULTS_ROOT, "PPO")
     if not os.path.isdir(ppo_root):
         return []
     runs = [load_run(os.path.join(ppo_root, d))
