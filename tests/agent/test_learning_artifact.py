@@ -70,3 +70,47 @@ def test_plot_curves_renders(tmp_path):
     out = tmp_path / "curve.png"
     mod.plot_curves(rows, -2.13, str(out), "synthetic")
     assert out.stat().st_size > 10_000
+
+
+# ---------------------------------------------------------------------------
+# Multi-seed + weight-sweep artifacts (VERDICT r2 item 1): the committed
+# sweep CSVs from experiments/seed_sweep.py must keep showing that EVERY
+# seed learns past the random baseline (BASELINE.md: "match within seed
+# variance") and that every intersection-weight setting's curve improves.
+# ---------------------------------------------------------------------------
+
+SEEDS_CSV = ART.parent / "rectangle_spatial_pin_seed_sweep.csv"
+WEIGHTS_CSV = ART.parent / "rectangle_spatial_pin_weight_sweep.csv"
+
+
+def _grouped(path, key):
+    groups = {}
+    with open(path, newline="") as f:
+        for r in csv.DictReader(f):
+            groups.setdefault(r[key], []).append(
+                float(r["episode_reward_mean"]))
+    return groups
+
+
+def test_seed_sweep_every_seed_beats_random_baseline():
+    groups = _grouped(SEEDS_CSV, "seed")
+    assert len(groups) >= 3, sorted(groups)
+    finals = {}
+    for seed, ys in groups.items():
+        assert len(ys) >= 100, (seed, len(ys))
+        finals[seed] = sum(ys[-10:]) / 10
+        assert finals[seed] > RANDOM_BASELINE + 0.5, (seed, finals[seed])
+    # seed variance is tight: the final rewards agree closely across seeds
+    spread = max(finals.values()) - min(finals.values())
+    assert spread < 0.3, finals
+
+
+def test_weight_sweep_every_weight_curve_improves():
+    groups = _grouped(WEIGHTS_CSV, "weight_num_intersections")
+    assert len(groups) >= 3, sorted(groups)
+    for w, ys in groups.items():
+        assert len(ys) >= 100, (w, len(ys))
+        first10 = sum(ys[:10]) / 10
+        last10 = sum(ys[-10:]) / 10
+        # reward scales differ per weight; the invariant is improvement
+        assert last10 > first10 + 0.3, (w, first10, last10)
