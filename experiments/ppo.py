@@ -46,7 +46,15 @@ def main() -> None:
                    help="multi-host: jax.distributed coordinator address")
     p.add_argument("--num-processes", type=int, default=None)
     p.add_argument("--process-id", type=int, default=None)
+    p.add_argument("--run-name", type=str, default=None,
+                   help="fixed run-dir name (required for multi-host runs "
+                        "so every process shares one run directory)")
+    p.add_argument("--results-root", type=str, default=None,
+                   help="results root (default ~/placement_tpu_results)")
     args = p.parse_args()
+    if (args.num_processes or 0) > 1 and not args.run_name:
+        p.error("--run-name is required with --num-processes > 1 "
+                "(timestamped names would differ across processes)")
 
     from placement_tpu.parallel.mesh import initialize_distributed, make_mesh
     initialize_distributed(args.coordinator, args.num_processes,
@@ -57,8 +65,12 @@ def main() -> None:
                     unroll_length=args.unroll_length,
                     minibatch_size=min(128, args.num_envs
                                        * args.unroll_length))
+    extra = {}
+    if args.results_root:
+        extra["results_root"] = args.results_root
     trainer = Trainer(args.type, ppo_config=cfg, mesh=mesh,
-                      profile_dir=args.profile_dir)
+                      profile_dir=args.profile_dir,
+                      run_name=args.run_name, **extra)
     state = None
     if args.restore:
         state = trainer.restore(run_dir=args.restore, seed=args.seed)
@@ -71,8 +83,10 @@ def main() -> None:
                          state=state, on_iteration=report)
     print("run dir:", result.run_dir)
 
-    # rollout export for pin types only (experiments/PPO/PPO.py:49-54)
-    if not args.no_rollouts and "pin" in args.type:
+    # rollout export for pin types only (experiments/PPO/PPO.py:49-54);
+    # one writer in multi-host runs
+    if (not args.no_rollouts and "pin" in args.type
+            and trainer.is_main_process):
         generate_rollouts(trainer, state=result.state)
         print("rollouts exported to", result.run_dir)
     trainer.close()

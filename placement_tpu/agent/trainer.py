@@ -29,7 +29,7 @@ from placement_tpu.agent.policy import Policy
 from placement_tpu.agent.ppo import PPOConfig, PPOLearner, TrainState
 from placement_tpu.utils.checkpoint import CheckpointManager, find_latest_run
 from placement_tpu.utils.config import MODEL_TYPES, load_experiment
-from placement_tpu.utils.metrics import MetricsLogger
+from placement_tpu.utils.metrics import MetricsLogger, NullMetricsLogger
 
 DEFAULT_RESULTS_ROOT = os.path.expanduser("~/placement_tpu_results")
 
@@ -100,8 +100,13 @@ class Trainer:
         self.ckpt = CheckpointManager(self.checkpoint_dir,
                                       max_to_keep=keep_checkpoints,
                                       save_interval=checkpoint_freq)
-        self.logger = MetricsLogger(self.run_dir,
-                                    use_tensorboard=use_tensorboard)
+        # Multi-host: checkpoint saves are collective (every process calls
+        # save; Orbax coordinates through jax.distributed), but metric files
+        # have one writer — process 0 (metrics are replicated anyway).
+        self.is_main_process = jax.process_index() == 0
+        self.logger = (MetricsLogger(self.run_dir,
+                                     use_tensorboard=use_tensorboard)
+                       if self.is_main_process else NullMetricsLogger())
         # Data-parallel scale-out (SURVEY §2.4): boards shard over the mesh's
         # "dp" axis, params replicate, gradients psum — shard_learner wires
         # the shardings; everything else in this class is layout-agnostic.
@@ -115,7 +120,8 @@ class Trainer:
         if profile_dir:
             from placement_tpu.utils.profiling import trace_iterations
             self._profiler = trace_iterations(profile_dir)
-        self._write_params()
+        if self.is_main_process:
+            self._write_params()
 
     # -- persistence ---------------------------------------------------------
 

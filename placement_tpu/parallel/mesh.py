@@ -62,7 +62,17 @@ def shard_learner(learner, mesh: Mesh) -> tuple:
     repl = replicated(mesh)
 
     def place(state):
+        # Single-process: device_put scatters directly. Multi-process: the
+        # state was computed identically on every process (same seed), so
+        # each process materializes its addressable shards from its local
+        # copy — the documented host-local -> global-array recipe.
+        multiprocess = jax.process_count() > 1
+
         def put(x, shard):
+            if multiprocess:
+                arr = np.asarray(x)
+                return jax.make_array_from_callback(
+                    arr.shape, shard, lambda idx: arr[idx])
             return jax.device_put(x, shard)
 
         env_states = jax.tree_util.tree_map(lambda x: put(x, data),

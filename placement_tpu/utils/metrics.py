@@ -87,6 +87,31 @@ class MetricsLogger:
             self._tb = None
 
 
+class NullMetricsLogger:
+    """Same row computation as MetricsLogger, zero file output — used by
+    non-primary processes in multi-host runs (only process 0 writes
+    progress.csv / TensorBoard; metrics are replicated, so one writer
+    suffices)."""
+
+    def __init__(self) -> None:
+        self._t0 = time.time()
+
+    def log(self, iteration: int, timesteps_total: int,
+            metrics: Dict[str, Any]) -> Dict[str, float]:
+        row: Dict[str, float] = {
+            "training_iteration": iteration,
+            "timesteps_total": timesteps_total,
+            "time_total_s": time.time() - self._t0,
+        }
+        for k, v in metrics.items():
+            name = f"custom_metrics/{k}" if k in _CUSTOM else k
+            row[name] = _scalar(v)
+        return row
+
+    def close(self) -> None:
+        pass
+
+
 def read_progress(logdir: str) -> Dict[str, np.ndarray]:
     """Load progress.csv back as column arrays (comparison-page reader)."""
     path = os.path.join(logdir, "progress.csv")

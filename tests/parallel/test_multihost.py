@@ -76,3 +76,42 @@ def test_two_process_distributed_train_step():
         assert abs(a[k] - b[k]) < 1e-6, (k, a[k], b[k])
     assert a["episodes_this_iter"] > 0
     assert a["pool_wraps"] == 0
+
+
+def test_two_process_training_cli(tmp_path):
+    """The SHIPPED multi-host entry point end-to-end: two processes run
+    ``experiments/ppo.py --coordinator ... --data-parallel`` against one
+    shared run directory. Process 0 writes progress.csv/params.json; the
+    Orbax checkpoint save is collective across both processes."""
+    coordinator = f"127.0.0.1:{_free_port()}"
+    env = dict(os.environ)
+    env.update(JAX_PLATFORMS="cpu", PYTHONPATH=REPO, XLA_FLAGS="")
+    cli = str(pathlib.Path(REPO) / "experiments" / "ppo.py")
+    procs = [subprocess.Popen(
+        [sys.executable, cli, "--type", "rectangle_pin",
+         "--iterations", "1", "--num-envs", "4", "--unroll-length", "4",
+         "--data-parallel", "--no-rollouts",
+         "--coordinator", coordinator, "--num-processes", "2",
+         "--process-id", str(i),
+         "--run-name", "multihost_cli_test",
+         "--results-root", str(tmp_path)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, cwd=REPO, env=env)
+        for i in range(2)]
+    try:
+        for i, p in enumerate(procs):
+            out, err = p.communicate(timeout=420)
+            assert p.returncode == 0, (
+                f"process {i} rc={p.returncode}\n--- stderr ---\n"
+                f"{err.decode(errors='replace')[-4000:]}")
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+    run_dir = tmp_path / "PPO" / "multihost_cli_test"
+    assert (run_dir / "progress.csv").is_file()
+    assert (run_dir / "params.json").is_file()
+    ckpts = list((run_dir / "checkpoints").glob("checkpoint_*"))
+    assert ckpts, list(run_dir.rglob("*"))
+    rows = (run_dir / "progress.csv").read_text().strip().splitlines()
+    assert len(rows) == 2            # header + 1 iteration, single writer
