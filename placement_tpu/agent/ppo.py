@@ -60,15 +60,20 @@ def default_pool_size(params: EnvParams, unroll_length: int) -> int:
     rollout window under normal episode lengths (env/pooled.py contract).
 
     The estimate divides the window by a lower bound on episode length:
-    ``min_num_components`` placements for component-sampling variants (an
-    episode can only end earlier via a mask-full board, which the
-    ``pool_wraps`` metric would surface), and the worst-case packing bound
-    ``area // (2n-1)^2`` for the square variant's fixed-size components.
+    for component-sampling variants the smaller of ``min_num_components``
+    and the area-fill bound ``area // max_component_area`` (episodes can
+    end by a mask-full board well before min_num_components placements
+    when more components are sampled than fit — e.g. the rect config
+    samples 20 components of which only ~7 fit a 10x10 board); for the
+    square variant the worst-case packing bound ``area // (2n-1)^2``.
+    Remaining underestimates are surfaced by the ``pool_wraps`` metric.
     """
     if params.variant == Variant.SQUARE:
         est = max(params.area // ((2 * params.component_n - 1) ** 2), 1)
     else:
-        est = max(params.min_num_components, 1)
+        fill = params.area // max(
+            params.max_component_h * params.max_component_w, 1)
+        est = max(min(params.min_num_components, fill), 1)
     return max(min(unroll_length, unroll_length // est + 2), 2)
 
 

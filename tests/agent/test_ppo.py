@@ -44,7 +44,8 @@ def test_rollout_pool_never_wraps_on_shipped_configs():
     per window, env/pooled.py); the derived pool size must be deep enough
     that no board replays an instance on the shipped configs."""
     from placement_tpu.agent.trainer import Trainer
-    for model_type in ("rectangle_pin", "rectangle_spatial_pin"):
+    for model_type in ("rectangle", "rectangle_pin",
+                       "rectangle_spatial_pin"):
         tr = Trainer(model_type, ppo_config=small_cfg(unroll_length=16),
                      use_tensorboard=False)
         try:
