@@ -69,7 +69,11 @@ def default_pool_size(params: EnvParams, unroll_length: int) -> int:
     Remaining underestimates are surfaced by the ``pool_wraps`` metric.
     """
     if params.variant == Variant.SQUARE:
-        est = max(params.area // ((2 * params.component_n - 1) ** 2), 1)
+        # worst-case packing over the VALID-ORIGIN grid (origins live in
+        # [0, H-n] x [0, W-n]; one placement blocks a (2n-1)^2 origin patch)
+        n = params.component_n
+        origins = ((params.height - n + 1) * (params.width - n + 1))
+        est = max(origins // ((2 * n - 1) ** 2), 1)
     else:
         fill = params.area // max(
             params.max_component_h * params.max_component_w, 1)
@@ -154,9 +158,14 @@ class PPOLearner:
         pool_size = (self.cfg.reset_pool_size
                      or default_pool_size(env_params,
                                           self.cfg.unroll_length))
+        key, k_pool, k_roll = jax.random.split(state.key, 3)
+        # loop-invariant: closed over by step_fn (like env_params), not
+        # threaded through the scan carry
+        pool = pooled.make_pool(env_params, k_pool, pool_size,
+                                self.cfg.num_envs)
 
         def step_fn(carry, _):
-            env_states, counts, pool, key, ret_acc, len_acc = carry
+            env_states, counts, key, ret_acc, len_acc = carry
             key, k_act = jax.random.split(key)
             obs = jax.vmap(lambda s: core.observe(env_params, s))(env_states)
             action, logp, value, dist_inputs = self.policy.act(
@@ -180,17 +189,14 @@ class PPOLearner:
             }
             ret_acc = jnp.where(done, 0.0, ret_total)
             len_acc = jnp.where(done, 0, len_total)
-            return (next_states, counts, pool, key, ret_acc, len_acc), (
+            return (next_states, counts, key, ret_acc, len_acc), (
                 tr, metrics)
 
-        key, k_pool, k_roll = jax.random.split(state.key, 3)
-        pool = pooled.make_pool(env_params, k_pool, pool_size,
-                                self.cfg.num_envs)
         counts = jnp.zeros((self.cfg.num_envs,), jnp.int32)
-        (env_states, counts, _, _, ret_acc, len_acc), (traj, metrics) = (
+        (env_states, counts, _, ret_acc, len_acc), (traj, metrics) = (
             jax.lax.scan(
                 step_fn,
-                (state.env_states, counts, pool, k_roll,
+                (state.env_states, counts, k_roll,
                  state.ep_return_acc, state.ep_len_acc),
                 None, length=self.cfg.unroll_length))
         metrics["pool_wraps"] = jnp.sum(

@@ -112,7 +112,7 @@ def envelope_report(params: EnvParams,
     return not reasons, reasons
 
 
-def supports(params: EnvParams) -> bool:
+def supports(params: EnvParams, block: int = 128) -> bool:
     """Whether the fused kernel covers this configuration.
 
     PIN_SPATIAL shares the PIN dynamics and reward exactly (the reference
@@ -121,8 +121,12 @@ def supports(params: EnvParams) -> bool:
     materializes no observations, so both pin variants run the same kernel.
     Configurations outside ``ENVELOPE`` return False (see
     ``envelope_report``) and callers fall back to ``env.pooled``.
+
+    ``block`` must match the block size the caller will pass to
+    ``make_fused_rollout`` (the VMEM estimate scales with it) — the
+    default matches the benchmark's block.
     """
-    ok, _ = envelope_report(params)
+    ok, _ = envelope_report(params, block=block)
     return ok
 
 
@@ -709,7 +713,7 @@ def leaves_from_states(params: EnvParams, states) -> Dict[str, jnp.ndarray]:
 
 
 def make_fused_rollout(params: EnvParams, batch: int, num_steps: int,
-                       block: int = 256,
+                       block: int = 128,
                        interpret: bool = False) -> "Callable":
     """Build `fn(leaves, seed) -> (leaves', reward_sum, done_count)`.
 

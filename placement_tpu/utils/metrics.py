@@ -50,8 +50,8 @@ class MetricsLogger:
             except Exception:  # pragma: no cover - tensorboardX optional
                 self._tb = None
 
-    def log(self, iteration: int, timesteps_total: int,
-            metrics: Dict[str, Any]) -> Dict[str, float]:
+    def _row(self, iteration: int, timesteps_total: int,
+             metrics: Dict[str, Any]) -> Dict[str, float]:
         row: Dict[str, float] = {
             "training_iteration": iteration,
             "timesteps_total": timesteps_total,
@@ -60,6 +60,11 @@ class MetricsLogger:
         for k, v in metrics.items():
             name = f"custom_metrics/{k}" if k in _CUSTOM else k
             row[name] = _scalar(v)
+        return row
+
+    def log(self, iteration: int, timesteps_total: int,
+            metrics: Dict[str, Any]) -> Dict[str, float]:
+        row = self._row(iteration, timesteps_total, metrics)
 
         if self._csv_writer is None:
             self._fieldnames = list(row)
@@ -87,29 +92,21 @@ class MetricsLogger:
             self._tb = None
 
 
-class NullMetricsLogger:
-    """Same row computation as MetricsLogger, zero file output — used by
-    non-primary processes in multi-host runs (only process 0 writes
+class NullMetricsLogger(MetricsLogger):
+    """Identical row computation (shared ``_row``), zero file output — used
+    by non-primary processes in multi-host runs (only process 0 writes
     progress.csv / TensorBoard; metrics are replicated, so one writer
-    suffices)."""
+    suffices and every process's callbacks see identical row keys)."""
 
     def __init__(self) -> None:
         self._t0 = time.time()
+        self._tb = None
+        self._csv_file = None
+        self._csv_writer = None
 
     def log(self, iteration: int, timesteps_total: int,
             metrics: Dict[str, Any]) -> Dict[str, float]:
-        row: Dict[str, float] = {
-            "training_iteration": iteration,
-            "timesteps_total": timesteps_total,
-            "time_total_s": time.time() - self._t0,
-        }
-        for k, v in metrics.items():
-            name = f"custom_metrics/{k}" if k in _CUSTOM else k
-            row[name] = _scalar(v)
-        return row
-
-    def close(self) -> None:
-        pass
+        return self._row(iteration, timesteps_total, metrics)
 
 
 def read_progress(logdir: str) -> Dict[str, np.ndarray]:

@@ -174,8 +174,16 @@ def generate_rollouts(trainer, state=None, num_samples: int = 5,
     config CSV into the run dir. Returns the run dir."""
     if state is None:
         state = trainer.restore()
+    variables = state.variables
+    if jax.process_count() > 1:
+        # Multi-host: variables are fully-replicated global arrays; pull the
+        # local replica to host so the single-process greedy rollout below
+        # compiles a purely local program (a lone process computing on a
+        # multi-process global array would raise or deadlock).
+        variables = jax.tree_util.tree_map(
+            lambda x: np.asarray(jax.device_get(x)), variables)
     comps, actions, _ = sample_rollout(
-        trainer.env_params, trainer.policy, state.variables,
+        trainer.env_params, trainer.policy, variables,
         num_samples=num_samples, seed=seed)
     save_to_file(trainer.run_dir, comps, actions)
     env_cfg = trainer.raw_config.get("env_config", {})

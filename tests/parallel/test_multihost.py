@@ -90,7 +90,7 @@ def test_two_process_training_cli(tmp_path):
     procs = [subprocess.Popen(
         [sys.executable, cli, "--type", "rectangle_pin",
          "--iterations", "1", "--num-envs", "4", "--unroll-length", "4",
-         "--data-parallel", "--no-rollouts",
+         "--data-parallel",
          "--coordinator", coordinator, "--num-processes", "2",
          "--process-id", str(i),
          "--run-name", "multihost_cli_test",
@@ -115,3 +115,7 @@ def test_two_process_training_cli(tmp_path):
     assert ckpts, list(run_dir.rglob("*"))
     rows = (run_dir / "progress.csv").read_text().strip().splitlines()
     assert len(rows) == 2            # header + 1 iteration, single writer
+    # rollout export ran on process 0 against host-localized variables
+    assert (run_dir / "components.pkl").is_file()
+    assert (run_dir / "actions.pkl").is_file()
+    assert (run_dir / "rectangle_pin.csv").is_file()

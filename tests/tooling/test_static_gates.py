@@ -39,7 +39,9 @@ def test_type_gate_detects_violations(tmp_path):
         "def no_annotation(params: EnvParams):\n"
         "    return params.max_componets\n"          # typo'd attribute
         "def make() -> EnvParams:\n"
-        "    return EnvParams(heigth=10)\n")          # typo'd field
+        "    return EnvParams(heigth=10)\n"           # typo'd field
+        "def tweak(params: EnvParams) -> EnvParams:\n"
+        "    return params.replace(widht=3)\n")       # typo'd replace kw
     # check_file operates on REPO-relative paths; route through run() with
     # a temp copy living outside REPO via monkeypatched REPO root
     old = typecheck.REPO
@@ -52,3 +54,4 @@ def test_type_gate_detects_violations(tmp_path):
     assert "lacks a return annotation" in joined
     assert "no attribute 'max_componets'" in joined
     assert "heigth" in joined
+    assert "no field 'widht'" in joined

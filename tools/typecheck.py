@@ -17,8 +17,8 @@ subset with ``ast`` + runtime introspection, enforced in CI
      fields, properties, and methods. Catches the attribute-typo class of
      type errors mypy would (e.g. ``params.max_componets``).
   3. **Dataclass constructor keywords** — keyword arguments of
-     ``EnvParams(...)``-style constructions and ``dataclasses.replace``
-     calls must name real fields.
+     ``EnvParams(...)``-style constructions and ``obj.replace(field=...)``
+     method calls on tracked parameters must name real fields.
 
 Usage: python tools/typecheck.py [paths...]   (default: placement_tpu/)
 """
@@ -138,6 +138,22 @@ def _check_attributes(tree, rel, known, errors):
                     errors.append(
                         f"{rel}:{node.lineno}: '{node.value.id}.{node.attr}'"
                         f" — {cls} has no attribute '{node.attr}'")
+            elif (isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                    and node.func.attr == "replace"
+                    and isinstance(node.func.value, ast.Name)
+                    and node.func.value.id in tracked):
+                # obj.replace(field=...) — the dominant construction idiom
+                # for the frozen dataclasses / pytree nodes
+                cls = tracked[node.func.value.id]
+                _, fields = known[cls]
+                for kw in node.keywords:
+                    if (fields and kw.arg is not None
+                            and kw.arg not in fields):
+                        errors.append(
+                            f"{rel}:{node.lineno}: "
+                            f"{node.func.value.id}.replace({kw.arg}=...) — "
+                            f"{cls} has no field '{kw.arg}'")
 
 
 def _check_constructors(tree, rel, known, errors):
@@ -158,11 +174,10 @@ def _check_constructors(tree, rel, known, errors):
                     errors.append(
                         f"{rel}:{node.lineno}: {name}(...{kw.arg}=...) — "
                         f"no such field")
-        elif name == "replace" and isinstance(node.func, ast.Attribute):
-            # dataclasses.replace(x, **kw) handled only for the module-call
-            # form with a known first arg type is out of scope; the method
-            # form obj.replace(...) is covered by attribute validation.
-            pass
+        # (obj.replace(field=...) keyword validation lives in
+        # _check_attributes, which knows the parameter's class; the
+        # module-function form dataclasses.replace(x, **kw) would need
+        # inference on x and is out of scope.)
 
 
 LINES = {}
