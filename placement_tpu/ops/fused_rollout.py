@@ -714,11 +714,15 @@ def leaves_from_states(params: EnvParams, states) -> Dict[str, jnp.ndarray]:
 
 def make_fused_rollout(params: EnvParams, batch: int, num_steps: int,
                        block: int = 128,
-                       interpret: bool = False) -> "Callable":
+                       interpret: bool = False,
+                       vmem_limit_bytes: int = None) -> "Callable":
     """Build `fn(leaves, seed) -> (leaves', reward_sum, done_count)`.
 
     `leaves` is the dict from `init_leaves`; `seed` an i32 scalar array that
     must differ between calls (it seeds the in-kernel hardware PRNG).
+    ``vmem_limit_bytes`` raises Mosaic's default ~16 MB scoped-VMEM budget —
+    required for ``block`` > 128 (the flagship working set at block=256
+    overflows the default by ~1.5 MB).
     """
     ok, reasons = envelope_report(params, block=min(block, batch))
     if not ok:
@@ -766,6 +770,9 @@ def make_fused_rollout(params: EnvParams, batch: int, num_steps: int,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=pltpu.InterpretParams() if interpret else False,
+        compiler_params=(pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_bytes)
+            if vmem_limit_bytes else None),
     )
 
     def fn(leaves: Dict[str, jnp.ndarray], seed) -> Tuple[Dict, jnp.ndarray,
