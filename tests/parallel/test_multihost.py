@@ -119,3 +119,32 @@ def test_two_process_training_cli(tmp_path):
     assert (run_dir / "components.pkl").is_file()
     assert (run_dir / "actions.pkl").is_file()
     assert (run_dir / "rectangle_pin.csv").is_file()
+
+    # restore-and-continue across processes: a second 2-process run resumes
+    # from the first run's collective checkpoint and keeps counting
+    coordinator = f"127.0.0.1:{_free_port()}"
+    procs = [subprocess.Popen(
+        [sys.executable, cli, "--type", "rectangle_pin",
+         "--iterations", "1", "--num-envs", "4", "--unroll-length", "4",
+         "--data-parallel", "--no-rollouts",
+         "--coordinator", coordinator, "--num-processes", "2",
+         "--process-id", str(i),
+         "--run-name", "multihost_cli_resume",
+         "--restore", str(run_dir),
+         "--results-root", str(tmp_path)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, cwd=REPO, env=env)
+        for i in range(2)]
+    try:
+        for i, p in enumerate(procs):
+            out, err = p.communicate(timeout=420)
+            assert p.returncode == 0, (
+                f"resume process {i} rc={p.returncode}\n--- stderr ---\n"
+                f"{err.decode(errors='replace')[-4000:]}")
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    resume_csv = tmp_path / "PPO" / "multihost_cli_resume" / "progress.csv"
+    line = resume_csv.read_text().strip().splitlines()[-1]
+    # restored step counter continues: iteration 2, timesteps 32 (2 x 16)
+    assert line.startswith("2,32,"), line
