@@ -139,3 +139,36 @@ def test_random_policy_plot(tmp_path):
     out = plot_episode_returns(list(map(float, returns)),
                                str(tmp_path / "returns.png"))
     assert os.path.exists(out)
+
+
+def test_resume_is_bit_identical_to_uninterrupted_run(tmp_path):
+    """checkpoint.py's contract: 'a restored run continues bit-identically'.
+    Train 3 iterations straight; separately train 2, checkpoint, restore
+    into a FRESH trainer, train 1 more — iteration-3 metrics must be
+    bit-equal (the checkpoint carries the full TrainState: params,
+    optimizer, env states, PRNG key, accumulators)."""
+    a = Trainer("square", results_root=str(tmp_path), ppo_config=TINY,
+                use_tensorboard=False, run_name="PPO_square_straight")
+    rows_a = []
+    a.run(num_iterations=3, seed=0,
+          on_iteration=lambda it, row: rows_a.append(dict(row)))
+    a.close()
+
+    b = Trainer("square", results_root=str(tmp_path), ppo_config=TINY,
+                use_tensorboard=False, run_name="PPO_square_part1")
+    b.run(num_iterations=2, seed=0)
+    b.close()
+    c = Trainer("square", results_root=str(tmp_path), ppo_config=TINY,
+                use_tensorboard=False, run_name="PPO_square_resumed")
+    state = c.restore(run_dir=b.run_dir, seed=0)
+    rows_c = []
+    c.run(num_iterations=1, seed=0, state=state,
+          on_iteration=lambda it, row: rows_c.append(dict(row)))
+    c.close()
+
+    assert rows_c[0]["training_iteration"] == 3
+    skip = {"time_total_s"}                       # wall clock, not state
+    for k, v in rows_a[2].items():
+        if k in skip:
+            continue
+        assert rows_c[0][k] == v, (k, rows_c[0][k], v)
