@@ -114,3 +114,21 @@ def test_weight_sweep_every_weight_curve_improves():
         last10 = sum(ys[-10:]) / 10
         # reward scales differ per weight; the invariant is improvement
         assert last10 > first10 + 0.3, (w, first10, last10)
+
+
+# ---------------------------------------------------------------------------
+# Second model-family artifact: the non-spatial flagship (rectangle_pin).
+# ---------------------------------------------------------------------------
+
+PIN_ART = ART.parent / "rectangle_pin_progress.csv"
+PIN_RANDOM_BASELINE = -1.6536      # printed by the generating run (512 eps)
+
+
+def test_rectangle_pin_artifact_learns():
+    with open(PIN_ART, newline="") as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) >= 100
+    last10 = [float(r["episode_reward_mean"]) for r in rows[-10:]]
+    final = sum(last10) / len(last10)
+    # committed run: -1.08 final vs -1.65 random; assert with slack
+    assert final > PIN_RANDOM_BASELINE + 0.3, final
