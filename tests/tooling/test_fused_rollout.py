@@ -239,3 +239,35 @@ def test_fused_reward_distribution_matches_pooled(fused_run):
 
     # ~320 episodes per side; episode-reward std is ~0.35 on this config
     assert abs(fused_mean - pooled_mean) < 0.12, (fused_mean, pooled_mean)
+
+
+def test_interpreter_matches_hardware_goldens():
+    """CI anchored to the chip: the interpreter kernel must reproduce the
+    hardware-measured reward sums committed by tools/validate_fused_hw.py
+    (experiments/results/fused_hw_validation.json; batch=128, 25 steps,
+    seed 1234, init key 7). The in-kernel counter-hash PRNG is platform-
+    identical, so centroid — integer coordinates, exact crossing predicate
+    — matches BIT-EXACTLY; beam/'both' involve an f32 centroid division
+    whose last-bit rounding differs between Mosaic and the interpreter,
+    measured |delta| = 0.167 over ~640 episodes (0.02%). A kernel edit
+    that shifts these values beyond tolerance must be revalidated on
+    hardware before updating the artifact."""
+    import dataclasses
+    import json
+    import pathlib
+    art = (pathlib.Path(__file__).resolve().parents[2] / "experiments"
+           / "results" / "fused_hw_validation.json")
+    hw = json.loads(art.read_text())
+    assert hw["ok"]
+    for rt, exact in (("centroid", True), ("beam", False), ("both", False)):
+        params = dataclasses.replace(ENV_PARAMS, reward_type=rt)
+        leaves = fused_rollout.init_leaves(params, jax.random.PRNGKey(7),
+                                           128)
+        fn = fused_rollout.make_fused_rollout(params, 128, 25, block=128,
+                                              interpret=True)
+        _, rsum, dcnt = fn(leaves, 1234)
+        assert int(dcnt) == hw[rt]["episodes"], rt
+        got = float(rsum)
+        want = hw[rt]["reward_sum"]
+        tol = 5e-4 if exact else 0.5
+        assert abs(got - want) <= tol, (rt, got, want)
