@@ -26,13 +26,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 RESULTS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "results")
 
-# dataviz palette (light mode): series blue, neutral baseline, text inks
-C_SERIES = "#2a78d6"
-C_BASELINE = "#52514e"
-C_TEXT = "#0b0b0b"
-C_MUTED = "#52514e"
-C_SURFACE = "#fcfcfb"
-C_GRID = "#e7e6e2"
+from experiments.plot_style import (C_BASELINE, C_MUTED,  # noqa: E402
+                                    C_SURFACE, C_TEXT, style_axis)
+from experiments.plot_style import C_SERIES as _SERIES  # noqa: E402
+
+C_SERIES = _SERIES[0]
 
 
 def plot_curves(rows, baseline_reward, out_png, model_type):
@@ -54,7 +52,6 @@ def plot_curves(rows, baseline_reward, out_png, model_type):
     fig.patch.set_facecolor(C_SURFACE)
     for ax, (col, title, base, base_label) in zip(axes, panels):
         ys = [r.get(col, float("nan")) for r in rows]
-        ax.set_facecolor(C_SURFACE)
         ax.plot(it, ys, color=C_SERIES, linewidth=2)
         if base is not None:
             ax.axhline(base, color=C_BASELINE, linewidth=1.2,
@@ -62,12 +59,7 @@ def plot_curves(rows, baseline_reward, out_png, model_type):
             ax.annotate(f"{base_label}: {base:.3f}", xy=(it[-1], base),
                         xytext=(-4, 5), textcoords="offset points",
                         ha="right", fontsize=8.5, color=C_MUTED)
-        ax.set_title(title, loc="left", fontsize=10.5, color=C_TEXT)
-        ax.grid(True, axis="y", color=C_GRID, linewidth=0.8)
-        for side in ("top", "right", "left"):
-            ax.spines[side].set_visible(False)
-        ax.spines["bottom"].set_color(C_GRID)
-        ax.tick_params(colors=C_MUTED, labelsize=8.5, length=0)
+        style_axis(ax, title)
     axes[-1].set_xlabel("training iteration", fontsize=9.5, color=C_MUTED)
     fig.suptitle(f"PPO on {model_type} — learning curve",
                  x=0.125, ha="left", fontsize=12, color=C_TEXT)

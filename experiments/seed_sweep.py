@@ -30,24 +30,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 RESULTS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "results")
 
-# dataviz palette (light mode) — matches experiments/learning_curve.py
-C_SERIES = ["#2a78d6", "#cc4778", "#2a9d8f", "#e07b39"]
-C_BASELINE = "#52514e"
-C_TEXT = "#0b0b0b"
-C_MUTED = "#52514e"
-C_SURFACE = "#fcfcfb"
-C_GRID = "#e7e6e2"
-C_BAND = "#2a78d6"
+from experiments.plot_style import (C_BASELINE, C_MUTED,  # noqa: E402
+                                    C_SERIES, C_SURFACE,
+                                    style_axis as _style)
 
-
-def _style(ax, title):
-    ax.set_facecolor(C_SURFACE)
-    ax.set_title(title, loc="left", fontsize=10.5, color=C_TEXT)
-    ax.grid(True, axis="y", color=C_GRID, linewidth=0.8)
-    for side in ("top", "right", "left"):
-        ax.spines[side].set_visible(False)
-    ax.spines["bottom"].set_color(C_GRID)
-    ax.tick_params(colors=C_MUTED, labelsize=8.5, length=0)
+C_BAND = C_SERIES[0]
 
 
 def _train_once(model_type, iterations, seed, num_envs, unroll,

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import logging
 import os
 import time
 from typing import Any, Callable, Dict, Optional
@@ -168,12 +169,21 @@ class Trainer:
             step_fn = self.learner.jitted_train_step()
         start = int(state.steps) // max(self.ppo_config.train_batch, 1)
         row: Dict[str, float] = {}
+        warned_wraps = False
         for it in range(start + 1, start + num_iterations + 1):
             if self._profiler is not None:
                 self._profiler.maybe_start(it - start)
             state, metrics = step_fn(state)
             row = self.logger.log(it, int(jax.device_get(state.steps)),
                                   metrics)
+            if row.get("pool_wraps", 0) > 0 and not warned_wraps:
+                warned_wraps = True
+                logging.getLogger(__name__).warning(
+                    "iteration %d: %d board(s) exhausted the reset pool "
+                    "and replayed an instance this window — sampling is "
+                    "biased; raise PPOConfig.reset_pool_size (episodes "
+                    "are ending faster than the derived pool assumed)",
+                    it, int(row["pool_wraps"]))
             if self._profiler is not None:
                 self._profiler.maybe_stop(it - start)
             self.ckpt.save(it, state)

@@ -75,8 +75,8 @@ def _footprints(params: EnvParams):
     return sorted(combos | {(w, h) for (h, w) in combos})
 
 
-def envelope_report(params: EnvParams,
-                    block: int = 128) -> "tuple[bool, list]":
+def envelope_report(params: EnvParams, block: int = 128,
+                    vmem_limit_bytes: int = None) -> "tuple[bool, list]":
     """Check ``params`` against the fused kernel's size envelope.
 
     Returns ``(ok, reasons)`` where ``reasons`` lists every violated limit.
@@ -85,6 +85,9 @@ def envelope_report(params: EnvParams,
     would build 900x900 cover matrices and unroll ~10k crossing-pair tests,
     blowing VMEM and compile time — it must be rejected here, before
     ``pallas_call``, so callers fall back to the pooled pure-JAX path.
+
+    ``vmem_limit_bytes`` (when the caller raises Mosaic's scoped-VMEM
+    budget) replaces the default VMEM cap in the estimate check.
     """
     reasons = []
     if params.variant not in (Variant.PIN, Variant.PIN_SPATIAL):
@@ -103,12 +106,16 @@ def envelope_report(params: EnvParams,
     for name, value in checks:
         if value > ENVELOPE[name]:
             reasons.append(f"{name}={value} > {ENVELOPE[name]}")
-    # coarse VMEM estimate: cover/tri matrices + the per-block row working
-    # set (carry + fresh-instance copy + routing temporaries, ~3x carry)
+    # VMEM estimate: cover/tri matrices + the per-block row working set.
+    # The x30 row multiplier is CALIBRATED against Mosaic's measured
+    # allocation for the flagship config (block=256 overflows the 16 MB
+    # scoped budget by ~1.5 MB -> ~68 KB/board vs ~2.4 KB of raw carry
+    # rows; the unrolled body keeps many intermediates live).
+    budget = vmem_limit_bytes or ENVELOPE["vmem_bytes"]
     vmem = 4 * ((nf + 1) * a * a
-                + 3 * block * (4 * a + 9 * p + 2 * c + c * ppc))
-    if vmem > ENVELOPE["vmem_bytes"]:
-        reasons.append(f"vmem_estimate={vmem} > {ENVELOPE['vmem_bytes']}")
+                + 30 * block * (4 * a + 9 * p + 2 * c + c * ppc))
+    if vmem > budget:
+        reasons.append(f"vmem_estimate={vmem} > {budget}")
     return not reasons, reasons
 
 
@@ -724,12 +731,18 @@ def make_fused_rollout(params: EnvParams, batch: int, num_steps: int,
     required for ``block`` > 128 (the flagship working set at block=256
     overflows the default by ~1.5 MB).
     """
-    ok, reasons = envelope_report(params, block=min(block, batch))
+    block = min(block, batch)
+    if block > 128 and vmem_limit_bytes is None:
+        raise ValueError(
+            f"block={block} needs an explicit vmem_limit_bytes (Mosaic's "
+            "default ~16 MB scoped-VMEM budget only fits block <= 128 on "
+            "in-envelope configs)")
+    ok, reasons = envelope_report(params, block=block,
+                                  vmem_limit_bytes=vmem_limit_bytes)
     if not ok:
         raise ValueError(
             "configuration outside the fused-kernel envelope "
             f"({'; '.join(reasons)}); use the env.pooled path instead")
-    block = min(block, batch)
     if batch % block:
         raise ValueError("batch must be divisible by block")
     nblocks = batch // block

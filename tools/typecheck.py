@@ -184,7 +184,10 @@ LINES = {}
 
 
 def check_file(path: pathlib.Path, known):
-    rel = path.relative_to(REPO)
+    try:
+        rel = path.relative_to(REPO)
+    except ValueError:            # path outside the repo root (CLI usage)
+        rel = path
     src = path.read_text()
     try:
         tree = ast.parse(src, filename=str(path))
