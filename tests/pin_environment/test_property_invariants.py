@@ -9,8 +9,6 @@ dummy_env_rectangular_pin.py:1846-1850 + rows_cols_to_mask:1767) — an
 oracle independent of ops/sat.py's summed-area-table implementation.
 """
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -131,3 +129,52 @@ def test_step_invariants_against_numpy_oracle(name):
                     assert float(reward) <= 0.0, (name, seed, t)
         else:
             pytest.fail(f"{name} seed {seed}: episode did not terminate")
+
+
+@pytest.mark.parametrize("name", sorted(CONFIGS))
+def test_reset_instance_invariants(name):
+    """Generator invariants across the same edge-case configs, batched:
+    counts within declared bounds, pins on valid components with distinct
+    in-bounds cells, capacity respected (generate_instances:1006-1505)."""
+    params = CONFIGS[name].validate()
+    n = 64
+    states = jax.jit(jax.vmap(lambda k: core.reset(params, k)))(
+        jax.random.split(jax.random.PRNGKey(7), n))
+    ch = np.asarray(states.comp_h)
+    cw = np.asarray(states.comp_w)
+    nc = np.asarray(states.num_components)
+    assert ((nc >= params.min_num_components)
+            & (nc <= params.max_num_components)).all()
+    for b in range(n):
+        for c in range(int(nc[b])):
+            assert params.min_component_h <= ch[b, c] <= params.max_component_h
+            assert params.min_component_w <= cw[b, c] <= params.max_component_w
+    if not params.has_pins:
+        return
+    net = np.asarray(states.pin_net)
+    comp = np.asarray(states.pin_comp)
+    rx = np.asarray(states.pin_rel_x)
+    ry = np.asarray(states.pin_rel_y)
+    nn = np.asarray(states.num_nets)
+    npn = np.asarray(states.num_pins)
+    for b in range(n):
+        valid = net[b] >= 0
+        assert valid.sum() == npn[b]
+        assert params.min_num_nets <= nn[b] <= params.max_num_nets
+        for nid in range(int(nn[b])):
+            cnt = int((net[b] == nid).sum())
+            assert params.min_num_pins_per_net <= cnt \
+                <= params.max_num_pins_per_net, (name, b, nid, cnt)
+        for c in range(int(nc[b])):
+            mine = valid & (comp[b] == c)
+            cells = set()
+            for i in np.nonzero(mine)[0]:
+                assert 0 <= rx[b, i] < ch[b, c], (name, b, i)
+                assert 0 <= ry[b, i] < cw[b, c], (name, b, i)
+                cells.add((int(rx[b, i]), int(ry[b, i])))
+            # distinct cells, never more pins than the component has cells
+            assert len(cells) == int(mine.sum()) \
+                <= int(ch[b, c]) * int(cw[b, c]), (name, b, c)
+        # every valid pin sits on an existing component
+        assert (comp[b][valid] >= 0).all()
+        assert (comp[b][valid] < nc[b]).all()
