@@ -50,6 +50,17 @@ class PPOConfig:
     # derived from the env's minimum episode length; see env/pooled.py).
     reset_pool_size: Optional[int] = None
 
+    def __post_init__(self) -> None:
+        if self.reset_pool_size is not None and self.reset_pool_size < 1:
+            raise ValueError(
+                f"reset_pool_size must be >= 1 (or None to derive it), "
+                f"got {self.reset_pool_size}")
+        for field in ("num_envs", "unroll_length", "minibatch_size",
+                      "num_sgd_iter"):
+            if getattr(self, field) < 1:
+                raise ValueError(f"{field} must be >= 1, "
+                                 f"got {getattr(self, field)}")
+
     @property
     def train_batch(self) -> int:
         return self.num_envs * self.unroll_length
@@ -66,7 +77,17 @@ def default_pool_size(params: EnvParams, unroll_length: int) -> int:
     when more components are sampled than fit — e.g. the rect config
     samples 20 components of which only ~7 fit a 10x10 board); for the
     square variant the worst-case packing bound ``area // (2n-1)^2``.
-    Remaining underestimates are surfaced by the ``pool_wraps`` metric.
+
+    This is a heuristic, not a guarantee: RECT/PIN episodes can also end
+    by origin-blocking (no legal origin for the current component) in
+    fewer placements than the area-fill bound — the true worst-case
+    blocking bound is 1 placement for shipped configs, which would force
+    ``pool == unroll_length`` (a ~4x pool memory/generation cost) against
+    a regime the shipped configs never enter (locked by
+    tests/agent/test_ppo.py's no-wraps tests). Underestimates
+    are surfaced at run time by the ``pool_wraps`` metric with escalating
+    trainer logs when sustained (agent/trainer.py); set
+    ``PPOConfig.reset_pool_size`` explicitly to override.
     """
     if params.variant == Variant.SQUARE:
         # worst-case packing over the VALID-ORIGIN grid (origins live in
@@ -115,6 +136,7 @@ class PPOLearner:
         self.policy = policy
         self.cfg = cfg
         self.tx = self._make_tx()
+        self._jitted_train_step = None
 
     def _make_tx(self):
         chain = []
@@ -155,9 +177,9 @@ class PPOLearner:
         the train metrics and must stay 0 for unbiased sampling.
         """
         env_params = self.env_params
-        pool_size = (self.cfg.reset_pool_size
-                     or default_pool_size(env_params,
-                                          self.cfg.unroll_length))
+        pool_size = (default_pool_size(env_params, self.cfg.unroll_length)
+                     if self.cfg.reset_pool_size is None
+                     else self.cfg.reset_pool_size)
         key, k_pool, k_roll = jax.random.split(state.key, 3)
         # loop-invariant: closed over by step_fn (like env_params), not
         # threaded through the scan carry
@@ -352,4 +374,10 @@ class PPOLearner:
         return new_state, metrics
 
     def jitted_train_step(self) -> Any:
-        return jax.jit(self.train_step, donate_argnums=(0,))
+        """Jitted train step, cached on the learner so repeated
+        ``Trainer.run()`` calls (e.g. web-app Train clicks) reuse one
+        ``jax.jit`` wrapper instead of re-tracing each time."""
+        if self._jitted_train_step is None:
+            self._jitted_train_step = jax.jit(self.train_step,
+                                              donate_argnums=(0,))
+        return self._jitted_train_step

@@ -70,6 +70,18 @@ class Trainer:
         env_params, model_cfg, raw = load_experiment(model_type, config_dir)
         if env_overrides:
             env_params = env_params.replace(**env_overrides).validate()
+            # User-supplied generation parameters (web-app sliders, API
+            # overrides) can move a pin config into a cap-bound sampling
+            # regime the shipped-config fidelity evidence doesn't cover —
+            # measure it and warn rather than silently biasing sampling
+            # (env/fidelity.py; the fix is exact_sampling=True).
+            from placement_tpu.env.fidelity import (GENERATION_FIELDS,
+                                                    check_sampling_fidelity)
+            if GENERATION_FIELDS & set(env_overrides):
+                check_sampling_fidelity(
+                    env_params,
+                    context=f"Trainer(model_type={model_type!r}, "
+                            f"env_overrides=...)")
             # re-derive the geometry-coupled model fields (grid size, mask
             # planes, feature widths) so env sliders/overrides can't desync
             # the model heads from the environment (the reference rebuilds
@@ -169,21 +181,36 @@ class Trainer:
             step_fn = self.learner.jitted_train_step()
         start = int(state.steps) // max(self.ppo_config.train_batch, 1)
         row: Dict[str, float] = {}
-        warned_wraps = False
+        wrap_windows = 0       # consecutive windows with pool exhaustion
+        wrapped_boards = 0     # cumulative boards that replayed an instance
         for it in range(start + 1, start + num_iterations + 1):
             if self._profiler is not None:
                 self._profiler.maybe_start(it - start)
             state, metrics = step_fn(state)
             row = self.logger.log(it, int(jax.device_get(state.steps)),
                                   metrics)
-            if row.get("pool_wraps", 0) > 0 and not warned_wraps:
-                warned_wraps = True
-                logging.getLogger(__name__).warning(
-                    "iteration %d: %d board(s) exhausted the reset pool "
-                    "and replayed an instance this window — sampling is "
-                    "biased; raise PPOConfig.reset_pool_size (episodes "
-                    "are ending faster than the derived pool assumed)",
-                    it, int(row["pool_wraps"]))
+            wraps = int(row.get("pool_wraps", 0))
+            if wraps > 0:
+                # Escalate sustained exhaustion instead of warning once:
+                # repeat on the 1st and every 10th consecutive window, at
+                # ERROR once it has persisted 10 windows (the derived pool
+                # bound was too optimistic — e.g. episodes ending early by
+                # blocking rather than area fill).
+                wrap_windows += 1
+                wrapped_boards += wraps
+                if wrap_windows == 1 or wrap_windows % 10 == 0:
+                    level = (logging.ERROR if wrap_windows >= 10
+                             else logging.WARNING)
+                    logging.getLogger(__name__).log(
+                        level,
+                        "iteration %d: %d board(s) exhausted the reset pool "
+                        "and replayed an instance this window (%d boards "
+                        "over %d consecutive windows) — sampling is biased; "
+                        "raise PPOConfig.reset_pool_size (episodes are "
+                        "ending faster than the derived pool assumed)",
+                        it, wraps, wrapped_boards, wrap_windows)
+            else:
+                wrap_windows = 0
             if self._profiler is not None:
                 self._profiler.maybe_stop(it - start)
             self.ckpt.save(it, state)

@@ -45,10 +45,12 @@ def _bincount(draws, n_bins, active):
 
 def _waterfill(amount, capacity):
     """Greedy in-order fill: distribute ``amount`` across bins bounded by
-    ``capacity`` (earlier bins first). Vectorized O(bins)."""
+    ``capacity`` (earlier bins first). Vectorized O(bins). Result pinned to
+    i32: under ``jax.enable_x64`` (the parity suite) integer sums promote to
+    i64, which future JAX rejects when scattered into i32 state arrays."""
     before = jnp.concatenate(
         [jnp.zeros((1,), I32), jnp.cumsum(capacity)[:-1]])
-    return jnp.clip(amount - before, 0, capacity)
+    return jnp.clip(amount - before, 0, capacity).astype(I32)
 
 
 def _multinomial(key, n_trials, probs, max_trials: int):
@@ -186,7 +188,7 @@ def _allocate_pins_to_components(key, params: EnvParams, num_components,
 
     net_starts = jnp.concatenate(
         [jnp.zeros((1,), I32), jnp.cumsum(net_counts)[:-1]])
-    num_pins = jnp.sum(net_counts)
+    num_pins = jnp.sum(net_counts, dtype=I32)
 
     # Per-net spread target (pin env vs spatial differ slightly):
     if params.variant == Variant.PIN_SPATIAL:
@@ -282,7 +284,8 @@ def _allocate_pins_to_components(key, params: EnvParams, num_components,
             local_of_rank = jnp.where(valid_rank, local, 0)
 
         # write the consumed space back through the sort permutation
-        new_space = jnp.zeros_like(space).at[order].set(sorted_space - counts)
+        new_space = jnp.zeros_like(space).at[order].set(
+            (sorted_space - counts).astype(space.dtype))
         space = jnp.where(active, new_space, space)
         comp_of_rank = jnp.where(active, comp_of_rank, -1)
         return space, (comp_of_rank, local_of_rank)
@@ -298,9 +301,9 @@ def _allocate_pins_to_components(key, params: EnvParams, num_components,
     rank = pin_slots - net_starts[pin_net]
     in_use = (pin_slots < num_pins) & (pin_net < num_nets) & (rank < m_max)
     safe_rank = jnp.clip(rank, 0, m_max - 1)
-    pin_comp = jnp.where(in_use, comp_of[pin_net, safe_rank], -1)
-    pin_local = jnp.where(in_use, local_of[pin_net, safe_rank], 0)
-    pin_net = jnp.where(in_use, pin_net, -1)
+    pin_comp = jnp.where(in_use, comp_of[pin_net, safe_rank], -1).astype(I32)
+    pin_local = jnp.where(in_use, local_of[pin_net, safe_rank], 0).astype(I32)
+    pin_net = jnp.where(in_use, pin_net, -1).astype(I32)
     return pin_comp, pin_net, pin_local, num_pins
 
 
@@ -348,7 +351,7 @@ def generate_instance(key, params: EnvParams) -> dict:
 
     num_components, comp_h, comp_w = generate_components(k_comp, params)
     comp_area = comp_h * comp_w
-    total_area = jnp.sum(comp_area)
+    total_area = jnp.sum(comp_area, dtype=I32)
 
     if not params.has_pins:
         zero = jnp.zeros((p,), I32)

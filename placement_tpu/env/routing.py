@@ -146,9 +146,13 @@ def beam_search_net(pos, mask, beam_width: int, start) -> jnp.ndarray:
     bw = beam_width
     count = jnp.sum(mask)
     pkeys = _point_key(pos)
+    # argmax-derived start is i64 under jax.enable_x64 (the parity suite);
+    # pin it so the scatters below stay i32-typed
+    start = jnp.asarray(start, jnp.int32)
 
     paths = jnp.full((bw, m), -1, jnp.int32).at[:, 0].set(start)
-    path_keys = jnp.full((bw, m), -1.0, F32).at[:, 0].set(pkeys[start])
+    # key dtype follows pos (f64 under the x64 parity suite, f32 in prod)
+    path_keys = jnp.full((bw, m), -1.0, pkeys.dtype).at[:, 0].set(pkeys[start])
     visited = jnp.zeros((bw, m), bool).at[:, start].set(True)
     visited = visited | ~mask[None, :]
     cost = jnp.where(jnp.arange(bw) == 0, 0.0, BIG).astype(pos.dtype)

@@ -132,6 +132,14 @@ def supports(params: EnvParams, block: int = 128) -> bool:
     ``block`` must match the block size the caller will pass to
     ``make_fused_rollout`` (the VMEM estimate scales with it) — the
     default matches the benchmark's block.
+
+    Calibration scope: the VMEM estimate's x30 live-row multiplier was
+    measured against Mosaic's actual allocation for the flagship config
+    (see ``envelope_report``); an in-envelope config with a very different
+    shape mix could in principle still overflow the scoped budget inside
+    Mosaic. Callers that must not crash on such a config should wrap the
+    first invocation in try/except and fall back to ``env.pooled``
+    (``bench.py`` does exactly this).
     """
     ok, _ = envelope_report(params, block=block)
     return ok

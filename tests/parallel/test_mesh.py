@@ -133,3 +133,88 @@ def test_trainer_with_mesh_and_profiler(tmp_path):
     assert np.isfinite(rows[-1]["episode_reward_mean"])
     trace_files = list((tmp_path / "trace").rglob("*"))
     assert any(f.is_file() for f in trace_files), trace_files
+
+
+# ---------------------------------------------------------------------------
+# Partitioning evidence (VERDICT r3 item 4): prove GSPMD actually shards the
+# rollout instead of silently replicating it — via compiled per-device
+# memory under weak/strong scaling and the lowered HLO's collectives.
+# ---------------------------------------------------------------------------
+
+def _compiled_train_step(n_devices: int, num_envs: int):
+    mesh = pmesh.make_mesh(n_devices)
+    cfg = PPOConfig(num_envs=num_envs, unroll_length=8,
+                    minibatch_size=num_envs, num_sgd_iter=2)
+    pol = Policy(PIN, model_config_for(PIN, "rectangle_pin"))
+    learner = PPOLearner(PIN, pol, cfg)
+    place, train_step = pmesh.shard_learner(learner, mesh)
+    state = place(learner.init(jax.random.PRNGKey(0)))
+    compiled = train_step.lower(state).compile()
+    return compiled, state, mesh
+
+
+def test_weak_scaling_memory_and_collectives():
+    """Same per-device board count at 1/2/4/8 devices: per-device temp
+    memory must stay ~flat (each device holds only ITS boards' rollout
+    buffers — silent replication would grow it linearly with device count),
+    and the multi-device HLO must contain the cross-replica all-reduce that
+    implements the psum gradient/metric reduction (SURVEY §2.4)."""
+    per_device = 4
+    temps = {}
+    for n in (1, 2, 4, 8):
+        compiled, _, _ = _compiled_train_step(n, per_device * n)
+        stats = compiled.memory_analysis()
+        assert stats is not None, "backend reports no memory analysis"
+        temps[n] = stats.temp_size_in_bytes
+        hlo = compiled.as_text()
+        if n > 1:
+            assert "all-reduce" in hlo, (
+                f"{n}-device train step lowered without any all-reduce — "
+                f"gradients are not being psum-reduced across the mesh")
+    # weak scaling: total work grows with n but per-device share is fixed;
+    # allow fixed overheads (replicated params/optimizer, fusion slack)
+    assert temps[8] <= temps[1] * 2.0 + (1 << 20), temps
+
+
+def test_strong_scaling_rollout_not_replicated():
+    """Fixed TOTAL batch, 1 vs 8 devices, rollout phase jitted alone (the
+    piece VERDICT r3 flagged as silently-replicable — the SGD phase's
+    random minibatch permutation is inherently global, so full-step temp
+    bytes can't distinguish sharded from replicated): if GSPMD replicated
+    the rollout, each device would materialize the full [T, B, ...]
+    trajectory, per-device output bytes would match the single-device
+    compile, and every trajectory leaf would come back fully replicated.
+    Sharded correctly, the per-device share drops by ~the device count and
+    each leaf's addressable shard covers only B/8 boards."""
+    total = 32
+
+    def _compiled_rollout(n_devices):
+        mesh = pmesh.make_mesh(n_devices)
+        cfg = PPOConfig(num_envs=total, unroll_length=8,
+                        minibatch_size=total, num_sgd_iter=1)
+        pol = Policy(PIN, model_config_for(PIN, "rectangle_pin"))
+        learner = PPOLearner(PIN, pol, cfg)
+        place, _ = pmesh.shard_learner(learner, mesh)
+        state = place(learner.init(jax.random.PRNGKey(0)))
+
+        def rollout(s):
+            _, traj, last_value, _ = learner._rollout(s)
+            return traj, last_value
+
+        fn = jax.jit(rollout)
+        return fn.lower(state).compile(), state, mesh
+
+    c1, s1, _ = _compiled_rollout(1)
+    c8, s8, mesh = _compiled_rollout(8)
+    out1 = c1.memory_analysis().output_size_in_bytes
+    out8 = c8.memory_analysis().output_size_in_bytes
+    assert out8 < 0.3 * out1, (
+        f"8-device per-device rollout output {out8} is not substantially "
+        f"below 1-device {out1} — the trajectory looks replicated")
+
+    traj, _ = c8(s8)
+    grid = traj.obs["grid"]                      # [T, B, H, W]
+    assert grid.shape[1] == total
+    shard_shapes = {sh.data.shape for sh in grid.addressable_shards}
+    assert shard_shapes == {(grid.shape[0], total // 8) + grid.shape[2:]}, (
+        f"trajectory not sharded over boards: shards {shard_shapes}")
