@@ -274,6 +274,46 @@ def _pairwise_intersect(seg_a, seg_b):
     return same | ((det != 0) & opp_rs & opp_pq)
 
 
+def _pairwise_intersect_ref_float(seg_a, seg_b):
+    """The reference's LITERAL floating-point formulation
+    (is_intersect:687-739): shared-endpoint tuple equality, det test,
+    division-based crossing point, inclusive bounding-box check.
+
+    The exact sign-test predicate above and this one agree everywhere the
+    crossing point is robustly inside/outside — but the reference divides in
+    f64, and that rounding can push a touching intersection (crossing point
+    exactly on a segment endpoint, reachable with fractional centroid
+    endpoints) just outside the box, MISSING an intersection the exact
+    predicate counts (observed: pin_nonsquare parity seed 13, segments
+    ((4,1),(3.8,1.2)) x ((4,2),(4.0,0.666...))). Fixed-seed parity means
+    reproducing the reference's rounding, not improving on it, so the x64
+    parity path evaluates THIS predicate on the raw (unscaled) coordinates;
+    production f32 keeps the exact integer predicate, whose deviation is
+    bounded by tests/parity's f32 envelope test and whose bit-stability
+    across engines is what the fused Pallas kernel's goldens anchor.
+
+    With all-integer endpoints (beam routes) the two predicates agree: every
+    operand is exactly representable and a rational crossing point p/q can't
+    fall within one ulp of an integer bound unless it IS that bound."""
+    x1, y1, x2, y2 = jnp.moveaxis(seg_a, -1, 0)
+    x3, y3, x4, y4 = jnp.moveaxis(seg_b, -1, 0)
+
+    same = (((x1 == x3) & (y1 == y3)) | ((x1 == x4) & (y1 == y4))
+            | ((x2 == x3) & (y2 == y3)) | ((x2 == x4) & (y2 == y4)))
+
+    det = (x1 - x2) * (y3 - y4) - (y1 - y2) * (x3 - x4)
+    safe_det = jnp.where(det == 0, 1.0, det)
+    a = x1 * y2 - y1 * x2
+    b = x3 * y4 - y3 * x4
+    x = (a * (x3 - x4) - (x1 - x2) * b) / safe_det
+    y = (a * (y3 - y4) - (y1 - y2) * b) / safe_det
+    on_both = ((jnp.minimum(x1, x2) <= x) & (x <= jnp.maximum(x1, x2))
+               & (jnp.minimum(x3, x4) <= x) & (x <= jnp.maximum(x3, x4))
+               & (jnp.minimum(y1, y2) <= y) & (y <= jnp.maximum(y1, y2))
+               & (jnp.minimum(y3, y4) <= y) & (y <= jnp.maximum(y3, y4)))
+    return same | ((det != 0) & on_both)
+
+
 def count_crossings(segs, seg_valid, scale=None) -> jnp.ndarray:
     """Number of intersecting cross-net segment pairs.
 
@@ -293,15 +333,20 @@ def count_crossings(segs, seg_valid, scale=None) -> jnp.ndarray:
     valid = seg_valid.reshape(n * m)
     net = jnp.repeat(jnp.arange(n), m)
 
-    if scale is None:
-        a = flat[:, None, :]
-        b = flat[None, :, :]
+    if flat.dtype == jnp.float64:
+        # x64 parity mode: the reference's own f64 predicate on the RAW
+        # coordinates (callers pass unscaled segments under x64) — see
+        # _pairwise_intersect_ref_float for why exact arithmetic is wrong
+        # here.
+        hit = _pairwise_intersect_ref_float(flat[:, None, :],
+                                            flat[None, :, :])
+    elif scale is None:
+        hit = _pairwise_intersect(flat[:, None, :], flat[None, :, :])
     else:
         s = jnp.repeat(scale, m)
         a = flat[:, None, :] * s[None, :, None]   # pair (i, j): A_i * s_j
         b = flat[None, :, :] * s[:, None, None]   # pair (i, j): B_j * s_i
-
-    hit = _pairwise_intersect(a, b)
+        hit = _pairwise_intersect(a, b)
     pair_ok = (net[:, None] < net[None, :]) & valid[:, None] & valid[None, :]
     return jnp.sum(hit & pair_ok).astype(jnp.int32)
 
@@ -332,7 +377,12 @@ def terminal_reward(params: EnvParams, pin_abs_x, pin_abs_y, pin_net,
 
     if params.reward_type in ("centroid", "both"):
         c_segs, c_valid, c_scaled, c_scale = centroid_route(pos, mask)
-        c_int = count_crossings(c_scaled, c_valid, c_scale)
+        if c_segs.dtype == jnp.float64:
+            # x64 parity: the reference's f64 predicate on raw coordinates
+            # (count_crossings dispatches on dtype)
+            c_int = count_crossings(c_segs, c_valid)
+        else:
+            c_int = count_crossings(c_scaled, c_valid, c_scale)
         c_wl = wirelength(c_segs, c_valid)
     if params.reward_type in ("beam", "both"):
         b_segs, b_valid = beam_route(params, pos, mask,

