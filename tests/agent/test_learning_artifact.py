@@ -132,3 +132,85 @@ def test_rectangle_pin_artifact_learns():
     final = sum(last10) / len(last10)
     # committed run: -1.08 final vs -1.65 random; assert with slack
     assert final > PIN_RANDOM_BASELINE + 0.3, final
+
+
+# ---------------------------------------------------------------------------
+# Reference weight-sweep correspondence (BASELINE "learning-curve match";
+# VERDICT r3 item 1). docs/learning_parity.md states what corresponds and
+# why bit-level RLlib reproduction is infeasible; these tests lock the
+# committed artifacts to those claims.
+# ---------------------------------------------------------------------------
+
+SWEEP = (pathlib.Path(__file__).resolve().parents[2] / "experiments" /
+         "results" / "rectangle_spatial_pin_weight_sweep.csv")
+CMP_JSON = (pathlib.Path(__file__).resolve().parents[2] / "experiments" /
+            "results" / "weight_sweep_reference_comparison.json")
+CMP_PNG = CMP_JSON.with_suffix(".png")
+
+
+def _sweep_by_weight():
+    per = {}
+    with open(SWEEP, newline="") as f:
+        for r in csv.DictReader(f):
+            per.setdefault(float(r["weight_num_intersections"]), []).append(
+                float(r["episode_reward_mean"]))
+    return per
+
+
+def test_weight_sweep_covers_reference_axis():
+    """Four weights incl. the alpha=0 analogue of the reference's outlier
+    curve (Experiment 10), 150 iterations each."""
+    per = _sweep_by_weight()
+    assert set(per) == {0.0, 0.1, 0.5, 0.9}, sorted(per)
+    assert all(len(v) >= 150 for v in per.values())
+
+
+def test_weight_sweep_ordering_matches_reference_figure():
+    """The figure's axis behavior: smaller intersection weight => strictly
+    higher final reward (reference Experiments 8-11, smallest-weight curve
+    highest)."""
+    per = _sweep_by_weight()
+    finals = {w: sum(v[-10:]) / 10 for w, v in per.items()}
+    ws = sorted(finals)
+    for a, b in zip(ws, ws[1:]):
+        assert finals[a] > finals[b] + 0.02, (finals, a, b)
+
+
+def test_weight_sweep_shape_matches_reference_figure():
+    """Trainable curves start in a ~-2..-2.6 band and concentrate >85% of
+    their gain in the first 40 iterations (the reference cluster flattens
+    by ~iteration 40)."""
+    per = _sweep_by_weight()
+    for w, v in per.items():
+        if w == 0.0:
+            continue
+        assert -2.7 < v[0] < -1.8, (w, v[0])
+        final = sum(v[-10:]) / 10
+        gain_40 = (v[39] - v[0]) / (final - v[0])
+        assert gain_40 > 0.85, (w, gain_40)
+
+
+def test_alpha_zero_start_matches_beta_times_wirelength():
+    """The quantitative model behind the reference's Experiment-10 outlier
+    (docs/learning_parity.md #3): with alpha=0 the start reward equals
+    -beta * untrained normalized wirelength (shipped beta = 0.75)."""
+    with open(SWEEP, newline="") as f:
+        rows = [r for r in csv.DictReader(f)
+                if float(r["weight_num_intersections"]) == 0.0]
+    start_reward = float(rows[0]["episode_reward_mean"])
+    start_wl = float(rows[0]["normalized_wirelengths_mean"])
+    assert abs(start_reward - (-0.75 * start_wl)) < 0.02, (
+        start_reward, start_wl)
+
+
+def test_comparison_artifacts_committed_and_consistent():
+    import json
+    assert CMP_PNG.exists(), "two-panel comparison figure missing"
+    with open(CMP_JSON) as f:
+        s = json.load(f)
+    assert s["ordering_matches_reference"] is True
+    assert "not installed" in s["bit_level_reproduction_infeasible"]
+    finals = {float(k): v for k, v in s["final_reward_by_weight"].items()}
+    per = _sweep_by_weight()
+    for w, v in per.items():
+        assert abs(finals[w] - sum(v[-10:]) / 10) < 0.02, w
