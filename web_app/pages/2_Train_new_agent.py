@@ -93,12 +93,18 @@ with st.sidebar:
                                 [32, 64, 128, 256, 512, 1024], 128)
     unroll = st.select_slider("unroll length", [8, 16, 32, 64], 32)
     lr = st.number_input("learning rate", value=5e-5, format="%.1e")
+    # RLlib-parity default is 30; 10 is the measured ~2x-faster preset
+    # whose learning curve stays within the flagship seed band
+    # (docs/performance.md "Train-step phase profile",
+    # experiments/results/rectangle_spatial_pin_seed_band_sgd10.png)
+    num_sgd_iter = st.select_slider("SGD epochs per iteration",
+                                    [1, 5, 10, 20, 30], 30)
     seed = st.number_input("seed", value=0, step=1)
     go = st.button("Train", type="primary")
 
 if go:
     cfg = PPOConfig(num_envs=int(num_envs), unroll_length=int(unroll),
-                    lr=float(lr))
+                    lr=float(lr), num_sgd_iter=int(num_sgd_iter))
     trainer = Trainer(model_type, ppo_config=cfg, env_overrides=env_over,
                       model_overrides=model_over)
     st.write(f"Run dir: `{trainer.run_dir}`")
