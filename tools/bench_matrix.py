@@ -150,13 +150,14 @@ def _bench_fused(env_params, batch):
     return _throughput(call, state, inner, batch)
 
 
-def _bench_pooled(env_params, batch, inner=50, pool_size=None):
+def _bench_pooled(env_params, batch, inner=50, pool_size=None,
+                  slice_size=4):
     from placement_tpu.agent.random_policy import random_action
     from placement_tpu.env import pooled
     if pool_size is None:
         pool_size = inner // 5 + 2
     chunk = jax.jit(pooled.rollout_chunk(env_params, random_action, inner,
-                                         pool_size))
+                                         pool_size, slice_size))
 
     def call(state, racc):
         states, key = state
@@ -169,7 +170,8 @@ def _bench_pooled(env_params, batch, inner=50, pool_size=None):
     return _throughput(call, state, inner, batch)
 
 
-def measure(name, env_params, anchor, batch, inner=50, pool_size=None):
+def measure(name, env_params, anchor, batch, inner=50, pool_size=None,
+            slice_size=4):
     from placement_tpu.ops import fused_rollout
     use_fused = fused_rollout.supports(env_params)
     engine = "fused_pallas" if use_fused else "pooled_jax"
@@ -179,7 +181,8 @@ def measure(name, env_params, anchor, batch, inner=50, pool_size=None):
         if use_fused:
             value = _bench_fused(env_params, batch)
         else:
-            value = _bench_pooled(env_params, batch, inner, pool_size)
+            value = _bench_pooled(env_params, batch, inner, pool_size,
+                                  slice_size)
     except PhaseTimeout:
         _note(f"{name}: phase timed out")
         return None
@@ -208,8 +211,14 @@ def main():
                         "(kernel fault) when pool_size*batch exceeds "
                         "~16k pooled instances (4096x{50,25} faults, "
                         "4096x10 and 1024x50 are fine; pin configs run "
-                        "4096x50 without issue) — measure such rows with "
-                        "--inner 10")
+                        "4096x50 without issue) — the faulting program "
+                        "shape is exactly lax.map over THREE 16384-board "
+                        "generator slices (slice sizes 2 and 12 both work "
+                        "and produce identical values) — use --slice-size "
+                        "2 or --inner 10 for such rows")
+    p.add_argument("--slice-size", type=int, default=4,
+                   help="make_pool generator slice size (boards per "
+                        "lax.map iteration = slice_size*batch)")
     p.add_argument("--force", action="store_true",
                    help="re-measure rows already in the artifact")
     p.add_argument("--out", default=str(OUT))
@@ -238,7 +247,7 @@ def main():
         env_params, anchor = table[name]
         _phase(_remaining() - 20)
         row = measure(name, env_params, anchor, args.batch,
-                      inner=args.inner)
+                      inner=args.inner, slice_size=args.slice_size)
         signal.alarm(0)
         if row is not None:
             rows[name] = row
