@@ -17,9 +17,12 @@ Layout: boards on sublanes.  Every per-board quantity is a row of a
 VPU op over the whole block and the hot rectangle-sum reduction becomes a
 single `[block, A] @ [A, A]` MXU matmul per (h, w) footprint.
 
-Supported configuration (trace-time checked): PIN variant, any reward type
-(centroid / beam / both).  Anything else falls back to the pure-JAX
-`pooled` path.  RNG is a counter-based hash PRNG (`_Rng`) — a
+Supported configurations (trace-time checked): all four env variants —
+PIN/PIN_SPATIAL with any reward type (centroid / beam / both), and
+SQUARE/RECT with their dense +1-per-placement reward (the pin/net
+machinery and the routing reward body are skipped at trace time; the
+orientation sampler covers 1, 2, or 4 planes). Out-of-envelope configs
+fall back to the pure-JAX `pooled` path.  RNG is a counter-based hash PRNG (`_Rng`) — a
 different stream than the JAX path but the same distributions, identical on
 TPU and under the CPU interpreter; the build owns its seed story (SURVEY.md
 §7 hard-part #1), and tests/tooling/test_fused_rollout.py checks
@@ -62,6 +65,8 @@ ENVELOPE = {
     "pins": 48,           # O(P^2) crossing pairs unrolled at trace time
     "pins_per_component": 16,   # PPC^2 cell-permutation network, x C
     "beam_width": 4,      # bw^2 candidates per beam round, each lex-compared
+    "components_nopin": 64,     # SQUARE/RECT: components only feed O(C)
+                                # lane selects (no per-net sorting network)
     "vmem_bytes": 12 * 2**20,   # coarse working-set estimate at block=128
 }
 
@@ -90,19 +95,27 @@ def envelope_report(params: EnvParams, block: int = 128,
     budget) replaces the default VMEM cap in the estimate check.
     """
     reasons = []
-    if params.variant not in (Variant.PIN, Variant.PIN_SPATIAL):
-        reasons.append(f"variant {params.variant} (PIN variants only)")
-        return False, reasons
     a, c, p = params.area, params.max_components, params.max_pins
     ppc = params.max_num_pins_per_component
-    nf = len(_footprints(params))
+    if params.variant == Variant.SQUARE:
+        nf = 1
+    else:
+        nf = len(_footprints(params))
     bw = int(params.reward_beam_width)
-    checks = [
-        ("area", a), ("footprints", nf), ("components", c), ("pins", p),
-        ("pins_per_component", ppc),
-    ]
-    if params.reward_type in ("beam", "both"):
-        checks.append(("beam_width", bw))
+    if params.has_pins:
+        # pin variants: the per-net allocator is an O(C^2) sorting network
+        # and the crossing count unrolls O(P^2) pairs — all trace-time
+        checks = [
+            ("area", a), ("footprints", nf), ("components", c), ("pins", p),
+            ("pins_per_component", ppc),
+        ]
+        if params.reward_type in ("beam", "both"):
+            checks.append(("beam_width", bw))
+    else:
+        # SQUARE/RECT: no nets/pins machinery; components only feed cheap
+        # O(C) lane selects, so the limit is looser
+        checks = [("area", a), ("footprints", nf),
+                  ("components_nopin", c)]
     for name, value in checks:
         if value > ENVELOPE[name]:
             reasons.append(f"{name}={value} > {ENVELOPE[name]}")
@@ -126,8 +139,10 @@ def supports(params: EnvParams, block: int = 128) -> bool:
     files are ~95% line-identical; only the observation builders differ,
     dummy_env_rectangular_pin_spatial.py:1663-1698) and this rollout path
     materializes no observations, so both pin variants run the same kernel.
-    Configurations outside ``ENVELOPE`` return False (see
-    ``envelope_report``) and callers fall back to ``env.pooled``.
+    SQUARE and RECT run a reduced kernel (no pin machinery, dense +1
+    reward) under looser limits (``components_nopin``). Configurations
+    outside ``ENVELOPE`` return False (see ``envelope_report``) and
+    callers fall back to ``env.pooled``.
 
     ``block`` must match the block size the caller will pass to
     ``make_fused_rollout`` (the VMEM estimate scales with it) — the
@@ -278,13 +293,20 @@ def _build_kernel(params: EnvParams, num_steps: int, block: int):  # noqa: compl
     minC, maxC = params.min_num_components, params.max_num_components
     minN, maxN = params.min_num_nets, params.max_num_nets
     minPPN, maxPPN = params.min_num_pins_per_net, params.max_num_pins_per_net
-    wl_norm = float(params.wirelength_normalizer)
-    int_norm = float(params.intersections_normalizer)
-    lam_w = float(params.weight_wirelength)
-    lam_i = float(params.weight_num_intersections)
-    penalty = -(lam_w * (params.max_wirelength / wl_norm)
-                + lam_i * (params.max_num_intersections / int_norm))
-    combos = _footprints(params)
+    O = params.num_orientations
+    if params.has_pins:
+        wl_norm = float(params.wirelength_normalizer)
+        int_norm = float(params.intersections_normalizer)
+        lam_w = float(params.weight_wirelength)
+        lam_i = float(params.weight_num_intersections)
+        penalty = -(lam_w * (params.max_wirelength / wl_norm)
+                    + lam_i * (params.max_num_intersections / int_norm))
+    else:
+        penalty = 0.0
+    if params.variant == Variant.SQUARE:
+        combos = [(params.component_n, params.component_n)]
+    else:
+        combos = _footprints(params)
     B = block
 
     def kernel(seed_ref,  # noqa: complexity — one fused rollout program by design
@@ -332,7 +354,22 @@ def _build_kernel(params: EnvParams, num_steps: int, block: int):  # noqa: compl
             return p0, p1
 
         # ---- in-kernel instance generator --------------------------------
-        def generate(rng):
+        def generate(rng):  # noqa: complexity — one traced generator per variant
+            if params.variant == Variant.SQUARE:
+                # unlimited supply of identical n x n components; the
+                # episode only ends when the mask empties
+                # (dummy_env_square.py:246-255; core.reset square branch)
+                comp_h = jnp.full((B, C), params.component_n, I32)
+                comp_w = jnp.full((B, C), params.component_n, I32)
+                numc = jnp.full((B, 1), A, I32)
+                neg = jnp.full((B, P), -1, I32)
+                fgrid = jnp.zeros((B, A), F32)
+                fp0, fp1 = planes_for(fgrid, comp_h[:, 0:1], comp_w[:, 0:1],
+                                      jnp.full((B, 1), True))
+                return (fgrid, comp_h, comp_w, jnp.zeros((B, 1), I32), numc,
+                        neg, neg, neg, neg, neg, neg,
+                        jnp.zeros((B, 1), I32), fp0, fp1)
+
             comp_h = rng.randint(minH, maxH, (B, C))
             comp_w = rng.randint(minW, maxW, (B, C))
             numc = rng.randint(minC, maxC, (B, 1))
@@ -341,6 +378,17 @@ def _build_kernel(params: EnvParams, num_steps: int, block: int):  # noqa: compl
             comp_w = jnp.where(cvalid, comp_w, 0)
             area = comp_h * comp_w
             total_area = jnp.sum(area, axis=1, keepdims=True)
+
+            if not params.has_pins:
+                # RECT: component sampling only (generate_instances,
+                # dummy_env_rectangular.py:253-276)
+                neg = jnp.full((B, P), -1, I32)
+                fgrid = jnp.zeros((B, A), F32)
+                fp0, fp1 = planes_for(fgrid, comp_h[:, 0:1], comp_w[:, 0:1],
+                                      jnp.full((B, 1), True))
+                return (fgrid, comp_h, comp_w, jnp.zeros((B, 1), I32), numc,
+                        neg, neg, neg, neg, neg, neg,
+                        jnp.zeros((B, 1), I32), fp0, fp1)
 
             nn = rng.randint(minN, maxN, (B, 1))
             nn = jnp.maximum(jnp.minimum(nn, total_area // 2), 1)
@@ -555,20 +603,32 @@ def _build_kernel(params: EnvParams, num_steps: int, block: int):  # noqa: compl
 
             c0 = jnp.sum(p0, axis=1, keepdims=True)
             c1 = jnp.sum(p1, axis=1, keepdims=True)
-            total = 2.0 * (c0 + c1)          # planes 2,3 copy 0,1 (:1866)
+            if O == 1:                       # SQUARE: one plane
+                total = c0
+            elif O == 2:                     # RECT: two distinct planes
+                total = c0 + c1
+            else:                            # PIN: planes 2,3 copy 0,1 (:1866)
+                total = 2.0 * (c0 + c1)
             alive = total > 0.0
 
             u = rng.uniform((B, 1))
             tgt = jnp.minimum(jnp.floor(u * total), total - 1.0)
             tgt = jnp.maximum(tgt, 0.0)
             pre1 = c0
-            pre2 = c0 + c1
-            pre3 = pre2 + c0
-            osel = ((tgt >= pre1).astype(I32) + (tgt >= pre2).astype(I32)
-                    + (tgt >= pre3).astype(I32))
-            tin = tgt - jnp.where(
-                osel == 0, 0.0, jnp.where(
-                    osel == 1, pre1, jnp.where(osel == 2, pre2, pre3)))
+            if O == 1:
+                osel = jnp.zeros((B, 1), I32)
+                tin = tgt
+            elif O == 2:
+                osel = (tgt >= pre1).astype(I32)
+                tin = tgt - jnp.where(osel == 0, 0.0, pre1)
+            else:
+                pre2 = c0 + c1
+                pre3 = pre2 + c0
+                osel = ((tgt >= pre1).astype(I32) + (tgt >= pre2).astype(I32)
+                        + (tgt >= pre3).astype(I32))
+                tin = tgt - jnp.where(
+                    osel == 0, 0.0, jnp.where(
+                        osel == 1, pre1, jnp.where(osel == 2, pre2, pre3)))
             plane = jnp.where(osel % 2 == 0, p0, p1)
             cs = jnp.dot(plane, tri, preferred_element_type=F32)
             idx = jnp.sum((cs <= tin).astype(I32), axis=1, keepdims=True)
@@ -585,21 +645,22 @@ def _build_kernel(params: EnvParams, num_steps: int, block: int):  # noqa: compl
                    & (cell_y >= yy) & (cell_y < yy + pw))
             grid = jnp.where(ind & alive, 1.0, grid)
 
-            # pin rotation (Component.place_component:156-204)
-            mine = (pcomp == cur) & alive
-            r0, r1 = prx, pry
-            nrx = jnp.where(osel == 0, r0,
-                            jnp.where(osel == 1, r1,
-                                      jnp.where(osel == 2, chc - r0 - 1,
-                                                cwc - r1 - 1)))
-            nry = jnp.where(osel == 0, r1,
-                            jnp.where(osel == 1, chc - r0 - 1,
-                                      jnp.where(osel == 2, cwc - r1 - 1,
-                                                r0)))
-            prx = jnp.where(mine, nrx, prx)
-            pry = jnp.where(mine, nry, pry)
-            pax = jnp.where(mine, xx + prx, pax)
-            pay = jnp.where(mine, yy + pry, pay)
+            if params.has_pins:
+                # pin rotation (Component.place_component:156-204)
+                mine = (pcomp == cur) & alive
+                r0, r1 = prx, pry
+                nrx = jnp.where(osel == 0, r0,
+                                jnp.where(osel == 1, r1,
+                                          jnp.where(osel == 2, chc - r0 - 1,
+                                                    cwc - r1 - 1)))
+                nry = jnp.where(osel == 0, r1,
+                                jnp.where(osel == 1, chc - r0 - 1,
+                                          jnp.where(osel == 2, cwc - r1 - 1,
+                                                    r0)))
+                prx = jnp.where(mine, nrx, prx)
+                pry = jnp.where(mine, nry, pry)
+                pax = jnp.where(mine, xx + prx, pax)
+                pay = jnp.where(mine, yy + pry, pay)
 
             cur = cur + alive.astype(I32)
             placed_all = cur >= numc
@@ -616,8 +677,11 @@ def _build_kernel(params: EnvParams, num_steps: int, block: int):  # noqa: compl
 
             def on_done(args):
                 pax_, pay_, pnet_, npin_ = args
-                routed = fused_routing.reward_rows(
-                    params, pax_, pay_, pnet_, npin_)
+                if params.has_pins:
+                    routed = fused_routing.reward_rows(
+                        params, pax_, pay_, pnet_, npin_)
+                else:
+                    routed = jnp.zeros((B, 1), F32)
                 fresh = generate(rng)
                 return routed, fresh
 
@@ -631,10 +695,16 @@ def _build_kernel(params: EnvParams, num_steps: int, block: int):  # noqa: compl
             routed, fresh = jax.lax.cond(
                 any_done, on_done, no_done, (pax, pay, pnet, npin))
 
-            reward = jnp.where(
-                done,
-                jnp.where(placed_all & alive, routed, F32(penalty)),
-                0.0)
+            if params.has_pins:
+                # sparse terminal routing reward; invalid-action penalty
+                reward = jnp.where(
+                    done,
+                    jnp.where(placed_all & alive, routed, F32(penalty)),
+                    0.0)
+            else:
+                # SQUARE/RECT: +1 per successful placement, terminal or not
+                # (dummy_env_square.py:115-153, dummy_env_rectangular.py:353)
+                reward = jnp.where(alive, F32(1.0), F32(0.0))
             rsum = rsum + reward
             dcnt = dcnt + done.astype(I32)
 
@@ -723,7 +793,10 @@ def leaves_from_states(params: EnvParams, states) -> Dict[str, jnp.ndarray]:
         "pin_comp": states.pin_comp.astype(I32),
         "num_pins": states.num_pins.reshape(batch, 1).astype(I32),
         "plane0": states.action_mask[:, 0].reshape(batch, -1).astype(F32),
-        "plane1": states.action_mask[:, 1].reshape(batch, -1).astype(F32),
+        # the square variant has a single orientation plane; the kernel
+        # never reads plane1 when num_orientations == 1
+        "plane1": states.action_mask[:, min(
+            1, states.action_mask.shape[1] - 1)].reshape(batch, -1).astype(F32),
     }
 
 

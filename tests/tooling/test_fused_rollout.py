@@ -271,3 +271,81 @@ def test_interpreter_matches_hardware_goldens():
         want = hw[rt]["reward_sum"]
         tol = 5e-4 if exact else 0.5
         assert abs(got - want) <= tol, (rt, got, want)
+    # SQUARE/RECT reduced kernels: dense integer rewards -> bit-exact
+    for name, steps in (("square", 60), ("rectangle", 30)):
+        params, _, _ = load_experiment(name)
+        leaves = fused_rollout.init_leaves(params, jax.random.PRNGKey(7),
+                                           128)
+        fn = fused_rollout.make_fused_rollout(params, 128, steps, block=128,
+                                              interpret=True)
+        _, rsum, dcnt = fn(leaves, 1234)
+        assert int(dcnt) == hw[name]["episodes"], name
+        assert float(rsum) == hw[name]["reward_sum"], name
+
+
+# ---------------------------------------------------------------------------
+# SQUARE / RECT variants in the fused kernel (round 4): dense +1 reward,
+# 1/2-orientation sampling, pin machinery skipped at trace time.
+# ---------------------------------------------------------------------------
+
+def _pooled_mean_reward(params, batch, steps, pool, seed):
+    chunk = jax.jit(pooled.rollout_chunk(params, random_action, steps, pool))
+    reset_b = jax.jit(jax.vmap(lambda k: core.reset(params, k)))
+    states = reset_b(jax.random.split(jax.random.PRNGKey(seed), batch))
+    _, _, r, d, _ = chunk(states, jax.random.PRNGKey(seed + 1))
+    return float(r) / max(int(d), 1), int(d)
+
+
+def test_fused_kernel_square_variant():
+    """Square env in the kernel: unlimited 2x2 supply, one orientation
+    plane, +1 per placement; mean episode reward (= episode length) agrees
+    with the pure-JAX pooled path (random baseline ~17.5 on this config,
+    experiments/random_policy/run_policy_square.py)."""
+    params, _, _ = load_experiment("square")
+    assert fused_rollout.supports(params)
+    batch, steps = 32, 80
+    leaves = fused_rollout.init_leaves(params, jax.random.PRNGKey(11), batch)
+    fn = fused_rollout.make_fused_rollout(params, batch, steps,
+                                          block=batch, interpret=True)
+    l1, rsum, dcnt = fn(leaves, 501)
+    assert int(dcnt) > batch  # several episodes completed per board
+    fused_mean = float(rsum) / int(dcnt)
+    pooled_mean, d = _pooled_mean_reward(params, 64, steps, steps // 15 + 2,
+                                         21)
+    assert d > 64
+    # both estimators share the same window-truncation construction;
+    # episode-length std ~1.1 on this config
+    assert abs(fused_mean - pooled_mean) < 1.0, (fused_mean, pooled_mean)
+    # square state invariants: every occupied cell count is a multiple of 4
+    cells = np.asarray(l1["grid"]).sum(axis=1)
+    assert ((cells % 4) == 0).all()
+    assert (np.asarray(l1["num_pins"]) == 0).all()
+
+
+def test_fused_kernel_rect_variant():
+    """Rect env in the kernel: sampled component lists (C=20 > the pin
+    envelope's component cap — allowed via the no-pin limit), two
+    orientation planes, +1 per placement."""
+    params, _, _ = load_experiment("rectangle")
+    assert params.max_components > fused_rollout.ENVELOPE["components"]
+    assert fused_rollout.supports(params)
+    batch, steps = 16, 30
+    leaves = fused_rollout.init_leaves(params, jax.random.PRNGKey(13), batch)
+    fn = fused_rollout.make_fused_rollout(params, batch, steps,
+                                          block=batch, interpret=True)
+    l1, rsum, dcnt = fn(leaves, 601)
+    assert int(dcnt) >= batch
+    fused_mean = float(rsum) / int(dcnt)
+    pooled_mean, d = _pooled_mean_reward(params, 64, steps, steps // 5 + 2,
+                                         23)
+    assert d > 64
+    assert abs(fused_mean - pooled_mean) < 0.8, (fused_mean, pooled_mean)
+    assert (np.asarray(l1["num_pins"]) == 0).all()
+    # placed area on the grid equals the painted components' area
+    cur = np.asarray(l1["cursor"]).ravel()
+    ch = np.asarray(l1["comp_h"])
+    cw = np.asarray(l1["comp_w"])
+    cells = np.asarray(l1["grid"]).sum(axis=1)
+    for b in range(batch):
+        expect = sum(int(ch[b, i]) * int(cw[b, i]) for i in range(cur[b]))
+        assert cells[b] == expect, (b, cells[b], expect)

@@ -45,13 +45,14 @@ def test_every_shipped_config_beats_the_baseline():
 
 
 def test_engine_selection_matches_the_envelope():
-    """Pin variants ride the fused kernel; square/rect and the web-app
-    maximum (outside the fused envelope) prove the pooled fallback."""
+    """Every shipped variant rides the fused kernel (square/rect via the
+    round-4 reduced kernel); the web-app maximum — outside the fused
+    envelope — proves the pooled fallback."""
     rows = _matrix()["rows"]
-    for name in ("pin_centroid", "pin_beam", "pin_both", "spatial"):
+    for name in ("pin_centroid", "pin_beam", "pin_both", "spatial",
+                 "square", "rect"):
         assert rows[name]["engine"] == "fused_pallas", name
-    for name in ("square", "rect", "web_max_pooled"):
-        assert rows[name]["engine"] == "pooled_jax", name
+    assert rows["web_max_pooled"]["engine"] == "pooled_jax"
 
 
 def test_out_of_envelope_row_is_measured_not_asserted():

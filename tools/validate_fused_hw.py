@@ -52,6 +52,29 @@ def main() -> int:
                    "seconds": round(dt, 1), "ok": good}
         ok = ok and good
         print(f"[{rt}] {out[rt]}", file=sys.stderr, flush=True)
+
+    # SQUARE / RECT reduced kernels (dense +1 reward): reward_sum equals
+    # the number of successful placements, so mean episode reward is the
+    # mean episode length — anchored against the known random baselines
+    # (~17.5 for square 10x10/2x2, ~7 for the rect config).
+    for name, steps_v, lo, hi in (("square", 60, 12.0, 25.0),
+                                  ("rectangle", 30, 4.0, 11.0)):
+        params, _, _ = load_experiment(name)
+        t0 = time.perf_counter()
+        leaves = fused_rollout.init_leaves(params, jax.random.PRNGKey(7),
+                                           batch)
+        fn = jax.jit(fused_rollout.make_fused_rollout(
+            params, batch, steps_v, block=batch))
+        _, rsum, dcnt = fn(leaves, 1234)
+        rsum, dcnt = float(rsum), int(dcnt)
+        dt = time.perf_counter() - t0
+        mean = rsum / max(dcnt, 1)
+        good = dcnt > batch // 2 and lo <= mean <= hi
+        out[name] = {"reward_sum": round(rsum, 3), "episodes": dcnt,
+                     "mean_reward": round(mean, 4),
+                     "seconds": round(dt, 1), "ok": good}
+        ok = ok and good
+        print(f"[{name}] {out[name]}", file=sys.stderr, flush=True)
     out["ok"] = ok
     print(json.dumps(out), flush=True)
     return 0 if ok else 1
