@@ -251,3 +251,29 @@ def test_throughput_preset_matches_flagship_band():
         final = sum(v[-10:]) / 10
         assert BAND_LO < final < BAND_HI, (seed, final)
         assert final > RANDOM_BASELINE + 0.5, (seed, final)
+
+
+# ---------------------------------------------------------------------------
+# Third model-family artifact: an attention preset
+# (RectanglePinAttnCompModel analogue — self-attention over the component
+# axis, rectangle_pin_attn_component_model.py:16). Demonstrates the
+# attention models LEARN, not just forward-pass.
+# ---------------------------------------------------------------------------
+
+ATTN_ART = ART.parent / "rectangle_pin_attn_component_progress.csv"
+ATTN_RANDOM_BASELINE = -1.6536     # printed by the generating run (512 eps)
+
+
+def test_attention_preset_artifact_learns():
+    with open(ATTN_ART, newline="") as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) >= 100
+    last10 = [float(r["episode_reward_mean"]) for r in rows[-10:]]
+    final = sum(last10) / len(last10)
+    # committed run: -1.02 final vs -1.65 random; assert with slack
+    assert final > ATTN_RANDOM_BASELINE + 0.3, final
+    # wirelength falls alongside reward
+    col = "custom_metrics/normalized_wirelengths_mean"
+    first5 = [float(r[col]) for r in rows[:5]]
+    last10w = [float(r[col]) for r in rows[-10:]]
+    assert sum(last10w) / 10 < sum(first5) / 5
