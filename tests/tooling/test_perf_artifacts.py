@@ -100,3 +100,11 @@ def test_train_profile_rollout_consistent_with_full_step():
     """rollout+GAE alone must cost less than any full step containing it."""
     ph = _profile()["phases"]
     assert ph["rollout_gae_ms"] < ph["train_step_sgd1_ms"] * 1.1
+
+
+def test_spatial_train_profile_committed():
+    """The spatial flagship's profile carries the same SGD-bound story."""
+    with open(RESULTS / "train_step_profile_rectangle_spatial_pin.json") as f:
+        p = json.load(f)
+    assert p["derived"]["sgd30_share_of_iteration"] > 0.5
+    assert p["phases"]["train_step_sgd30_ms"] > p["phases"]["rollout_gae_ms"]

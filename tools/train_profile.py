@@ -88,6 +88,9 @@ def main():
     p.add_argument("--unroll-length", type=int, default=32)
     args = p.parse_args()
 
+    out_path = (OUT if args.type == "rectangle_pin"
+                else OUT.with_name(f"train_step_profile_{args.type}.json"))
+
     import dataclasses
 
     from placement_tpu.agent.policy import Policy, model_config_for
@@ -111,7 +114,7 @@ def main():
     }
 
     def flush():
-        with open(OUT, "w") as f:
+        with open(out_path, "w") as f:
             json.dump(result, f, indent=2)
 
     # -- rollout + GAE only (the env-bound share) ---------------------------
