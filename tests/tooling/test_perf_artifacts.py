@@ -41,6 +41,7 @@ def test_every_shipped_config_beats_the_baseline():
     rows = _matrix()["rows"]
     for name in SHIPPED_ROWS:
         v = rows[name]["steps_per_sec_per_chip"]
+        # committed values sit 52x-251x over; assert the baseline itself
         assert v >= BASELINE, (name, v)
 
 

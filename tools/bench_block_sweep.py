@@ -25,6 +25,7 @@ def main() -> None:
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--calls", type=int, default=20)
     p.add_argument("--vmem-mb", type=int, default=64)
+    p.add_argument("--type", default="rectangle_pin")
     args = p.parse_args()
 
     import jax
@@ -37,7 +38,7 @@ def main() -> None:
     from placement_tpu.ops import fused_rollout
     from placement_tpu.utils.config import load_experiment
 
-    params, _, _ = load_experiment("rectangle_pin")
+    params, _, _ = load_experiment(args.type)
     leaves0 = fused_rollout.init_leaves(params, jax.random.PRNGKey(3),
                                         args.batch)
     out = {}
