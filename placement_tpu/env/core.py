@@ -111,8 +111,9 @@ def _rotate_pins(params: EnvParams, state: EnvState, orientation, x, y):
 # Step
 # ---------------------------------------------------------------------------
 
-def step(params: EnvParams, state: EnvState,
-         action) -> Tuple[EnvState, jnp.ndarray, jnp.ndarray, Dict]:
+def step(params: EnvParams, state: EnvState, action, *,
+         defer_routing: bool = False
+         ) -> Tuple[EnvState, jnp.ndarray, jnp.ndarray, Dict]:
     """One transition. ``action`` is i32[3] (orientation, x, y); the square
     variant ignores the orientation slot. Returns (state', reward, done,
     info). Reward/done/invalid semantics follow each reference env exactly:
@@ -121,6 +122,16 @@ def step(params: EnvParams, state: EnvState,
           dummy_env_rectangular.py:424)
       pin invalid  -> episode ends with the worst-case penalty reward and
           wirelength/intersection info (dummy_env_rectangular_pin.py:1696-1710)
+
+    ``defer_routing`` (static): for pin variants, SKIP the
+    ``routing.terminal_reward`` computation — the single most expensive part
+    of the step, normally evaluated every call and discarded unless the
+    episode ends (:186-195). Reward and the info wirelength/intersection
+    fields come back zero; ``info["placed_all_eff"]`` carries the
+    ``placed_all & valid`` flag the routing call needs, so a batched caller
+    can compute terminal rewards just for the boards that actually finished
+    (``pooled.gated_terminal_rewards``) and patch them in. Non-pin variants
+    ignore the flag (their reward has no routing term).
     """
     h, w = params.height, params.width
     o_count = params.num_orientations
@@ -182,6 +193,14 @@ def step(params: EnvParams, state: EnvState,
         info_wl = state.info_wirelength
         info_int = state.info_intersections
         info = {}
+    elif defer_routing:
+        # reward == terminal_reward(placed_all & valid) wherever done, else 0
+        # (the :189-190 select below reduces to exactly that); the caller
+        # recomputes it for done boards only and patches state/info.
+        reward = jnp.zeros((), F32)
+        info_wl = jnp.zeros((), F32)
+        info_int = jnp.zeros((), F32)
+        info = {"placed_all_eff": placed_all & valid}
     else:
         term_reward, term_wl, term_int = routing.terminal_reward(
             params, abs_x, abs_y, state.pin_net,

@@ -26,7 +26,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from placement_tpu.env import core
+from placement_tpu.env import core, routing
 from placement_tpu.env.types import EnvParams, EnvState
 
 I32 = jnp.int32
@@ -63,8 +63,71 @@ def take(pool: EnvState, counts) -> EnvState:
     return jax.tree_util.tree_map(lambda x: x[idx, rows], pool)
 
 
+def gated_terminal_rewards(params: EnvParams, stepped: EnvState, done,
+                           placed_all_eff, budget: int) -> tuple:
+    """Terminal routing rewards for the done boards only.
+
+    ``core.step`` evaluates ``routing.terminal_reward`` — an O(P^2)
+    all-pairs crossing count — for EVERY board on EVERY step and throws the
+    result away unless the board finished (env/core.py:186-195); under
+    ``vmap`` the done-branch is a ``select``, so nothing short-circuits. On
+    big boards that discarded work dominates the pooled path (the web-app
+    maximum measured 66.5k steps/s with routing ~all of the step cost).
+
+    This computes the identical per-board quantity but only where it is
+    consumed: the (at most ``budget``) boards that finished this step are
+    compacted to the front with a stable argsort, routed with one
+    ``vmap(terminal_reward)`` of width ``budget``, and scattered back. Two
+    nested ``lax.cond`` levels keep the cost honest at batch level:
+
+      * no board finished            -> no routing at all (the common step)
+      * <= budget boards finished    -> route ``budget`` boards
+      * more than ``budget`` boards  -> route the full batch (rare fallback,
+                                        exact same values as the eager path)
+
+    Returns ``(reward, info_wl, info_int)`` f32[B], already masked to zero
+    on non-done boards — bit-identical per board to the eager path (the
+    routing math is the same pure function either way).
+    """
+    b = done.shape[0]
+    n_done = jnp.sum(done.astype(I32))
+
+    def routed(x, y, net, pa):
+        return jax.vmap(
+            lambda xi, yi, ni, pi: routing.terminal_reward(
+                params, xi, yi, ni, pi))(x, y, net, pa)
+
+    def none_done(_):
+        z = jnp.zeros((b,), jnp.float32)
+        return z, z, z
+
+    def some_done(_):
+        def compact(_):
+            order = jnp.argsort(~done)          # stable: done boards first
+            idx = order[:budget]
+            r, wl, ni = routed(stepped.pin_abs_x[idx],
+                               stepped.pin_abs_y[idx],
+                               stepped.pin_net[idx], placed_all_eff[idx])
+            z = jnp.zeros((b,), jnp.float32)
+            # rows with rank >= n_done land on non-done boards and are
+            # masked out by the caller's where(done, ...)
+            return (z.at[idx].set(r), z.at[idx].set(wl), z.at[idx].set(ni))
+
+        def full(_):
+            return routed(stepped.pin_abs_x, stepped.pin_abs_y,
+                          stepped.pin_net, placed_all_eff)
+
+        return jax.lax.cond(n_done <= budget, compact, full, None)
+
+    r, wl, ni = jax.lax.cond(n_done == 0, none_done, some_done, None)
+    zero = jnp.zeros((), jnp.float32)
+    return (jnp.where(done, r, zero), jnp.where(done, wl, zero),
+            jnp.where(done, ni, zero))
+
+
 def step_autoreset_pooled(
-    params: EnvParams, states: EnvState, actions, pool: EnvState, counts
+    params: EnvParams, states: EnvState, actions, pool: EnvState, counts,
+    route_budget: "int | None" = None,
 ) -> Tuple[EnvState, jnp.ndarray, jnp.ndarray, jnp.ndarray, dict]:
     """Batched step; done boards are replaced by their next pool entry.
 
@@ -72,9 +135,25 @@ def step_autoreset_pooled(
     done board is the first state of a fresh episode — but the fresh instance
     comes from ``pool`` instead of running the generator inline. ``counts``
     (i32[B]) tracks how many pool entries each board has consumed.
+
+    ``route_budget`` (static, pin variants only): compute the terminal
+    routing reward just for boards that finished this step via
+    ``gated_terminal_rewards`` instead of for every board every step. Value
+    = the per-step finisher budget (e.g. ``batch // 16``); identical
+    rewards/infos either way.
     """
-    stepped, reward, done, info = jax.vmap(
-        lambda s, a: core.step(params, s, a))(states, actions)
+    if route_budget is not None and params.has_pins:
+        stepped, _, done, aux = jax.vmap(
+            lambda s, a: core.step(params, s, a, defer_routing=True))(
+                states, actions)
+        reward, wl, ni = gated_terminal_rewards(
+            params, stepped, done, aux["placed_all_eff"], route_budget)
+        stepped = stepped.replace(info_wirelength=wl,
+                                  info_intersections=ni)
+        info = {"wirelength": wl, "num_intersections": ni}
+    else:
+        stepped, reward, done, info = jax.vmap(
+            lambda s, a: core.step(params, s, a))(states, actions)
     fresh = take(pool, counts)
     new_states = jax.tree_util.tree_map(
         lambda f, s: jnp.where(
@@ -84,7 +163,8 @@ def step_autoreset_pooled(
 
 
 def rollout_chunk(params: EnvParams, policy_fn, chunk_len: int,
-                  pool_size: int, slice_size: int = 4) -> "Callable":
+                  pool_size: int, slice_size: int = 4,
+                  route_budget: "int | None" = None) -> "Callable":
     """Build a jittable pooled-rollout chunk.
 
     ``policy_fn(key, params, mask) -> actions`` (e.g.
@@ -112,7 +192,8 @@ def rollout_chunk(params: EnvParams, policy_fn, chunk_len: int,
             key, k = jax.random.split(key)
             actions = policy_fn(k, params, states.action_mask)
             states, counts, reward, done, _ = step_autoreset_pooled(
-                params, states, actions, pool, counts)
+                params, states, actions, pool, counts,
+                route_budget=route_budget)
             return (states, counts, key), (reward.sum(), done.sum())
 
         (states, counts, key), (r, d) = jax.lax.scan(

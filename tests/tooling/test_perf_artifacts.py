@@ -59,7 +59,11 @@ def test_engine_selection_matches_the_envelope():
 def test_out_of_envelope_row_is_measured_not_asserted():
     row = _matrix()["rows"]["web_max_pooled"]
     assert row["grid"] == [30, 30]
-    assert row["steps_per_sec_per_chip"] > 0
+    # round 5: even the web app's out-of-envelope slider maximum clears the
+    # 100k bar on the pooled path (gated terminal routing + right-sized
+    # pool — committed measurement 258k; see docs/performance.md and
+    # experiments/results/pooled_profile_web_max.json)
+    assert row["steps_per_sec_per_chip"] >= BASELINE, row
 
 
 def test_envelope_rejects_the_web_max_config():

@@ -92,6 +92,50 @@ def test_rollout_chunk_throughput_semantics():
     assert int(wrapped) == 0  # pool_size 4 >= 10/5 resets per board
 
 
+def test_gated_routing_matches_eager():
+    """route_budget must not change a single value: rewards, dones, infos,
+    and states are identical to the eager path whether the step hits the
+    none-done branch (pre-terminal steps), the compacted branch (a lone
+    invalid-action finisher, n_done=1 <= budget) or the full-batch fallback
+    (all 8 boards finish in lockstep at step 5 > budget 2)."""
+    batch = 8
+    start = _reset_batch(jax.random.PRNGKey(10), batch)
+    pool = pooled.make_pool(PARAMS, jax.random.PRNGKey(11), 6, batch)
+    bad = jnp.asarray([0, -5, -5], jnp.int32)      # out of bounds -> invalid
+
+    for budget in (2, batch):
+        gated = jax.jit(lambda s, a, c, bu=budget: pooled.step_autoreset_pooled(
+            PARAMS, s, a, pool, c, route_budget=bu))
+        eager = jax.jit(lambda s, a, c: pooled.step_autoreset_pooled(
+            PARAMS, s, a, pool, c))
+        s_e = s_g = start
+        c_e = c_g = jnp.zeros((batch,), jnp.int32)
+        key = jax.random.PRNGKey(12)
+        saw_partial = saw_full = False
+        for i in range(12):
+            key, kk = jax.random.split(key)
+            actions = random_action(kk, PARAMS, s_e.action_mask)
+            if i == 2:
+                actions = actions.at[0].set(bad)   # lone finisher
+            s_e, c_e, r_e, d_e, i_e = eager(s_e, actions, c_e)
+            s_g, c_g, r_g, d_g, i_g = gated(s_g, actions, c_g)
+            np.testing.assert_array_equal(np.asarray(d_e), np.asarray(d_g))
+            np.testing.assert_array_equal(np.asarray(r_e), np.asarray(r_g))
+            for k in ("wirelength", "num_intersections"):
+                np.testing.assert_array_equal(np.asarray(i_e[k]),
+                                              np.asarray(i_g[k]))
+            np.testing.assert_array_equal(np.asarray(s_e.grid),
+                                          np.asarray(s_g.grid))
+            np.testing.assert_array_equal(
+                np.asarray(s_e.info_wirelength),
+                np.asarray(s_g.info_wirelength))
+            n_done = int(np.asarray(d_e).sum())
+            saw_partial |= 0 < n_done <= budget
+            saw_full |= n_done > budget
+        assert saw_partial
+        assert saw_full or budget == batch
+
+
 def test_rollout_chunk_wrap_counter_detects_reuse():
     """A pool smaller than chunk_len/episode_len forces index wrap-around;
     the chunk must report it (round-1 weak spot: silent instance replay)."""

@@ -106,6 +106,22 @@ def _configs():
     }
 
 
+# Pooled-path tuning (round 5). The web-app-max row measured 66.5k steps/s
+# at the r4 defaults (inner=10, pool_size=4); the committed profile
+# (experiments/results/pooled_profile_web_max.json) shows why: pool
+# generation was 431ms of the 617ms chunk (a 4-deep pool regenerated every
+# 10 steps against ~40-step episodes) and the per-step discarded terminal
+# routing another ~104ms. Episodes run one step per component (~40), so a
+# 50-step chunk with a 2-deep pool right-sizes generation (8192 fresh
+# boards per 204k board-steps — ~60% headroom over expected consumption,
+# wrap counter checked), and route_budget gates the O(P^2) routing to
+# boards that actually finish (pooled.gated_terminal_rewards).
+POOLED_TUNING = {
+    "web_max_pooled": dict(inner=50, pool_size=2, slice_size=2,
+                           route_budget=256),
+}
+
+
 def _dummy_states(env_params, batch):
     from placement_tpu.env import core
     shapes = jax.eval_shape(lambda k: core.reset(env_params, k),
@@ -151,27 +167,35 @@ def _bench_fused(env_params, batch):
 
 
 def _bench_pooled(env_params, batch, inner=50, pool_size=None,
-                  slice_size=4):
+                  slice_size=4, route_budget=None):
     from placement_tpu.agent.random_policy import random_action
     from placement_tpu.env import pooled
     if pool_size is None:
         pool_size = inner // 5 + 2
     chunk = jax.jit(pooled.rollout_chunk(env_params, random_action, inner,
-                                         pool_size, slice_size))
+                                         pool_size, slice_size,
+                                         route_budget=route_budget))
+    wrap_seen = []
 
     def call(state, racc):
         states, key = state
-        states, key, r, _, _ = chunk(states, key)
+        states, key, r, _, wrapped = chunk(states, key)
+        wrap_seen.append(wrapped)
         return (states, key), racc + r
 
     state = (_dummy_states(env_params, batch), jax.random.PRNGKey(7))
     state, racc = call(state, jnp.zeros(()))
     float(racc)
-    return _throughput(call, state, inner, batch)
+    value = _throughput(call, state, inner, batch)
+    # pool reuse would silently bias the sample stream — demand zero wraps
+    wraps = int(sum(int(w) for w in wrap_seen))
+    if wraps:
+        _note(f"WARNING: {wraps} pool wrap(s) — enlarge pool_size")
+    return value
 
 
 def measure(name, env_params, anchor, batch, inner=50, pool_size=None,
-            slice_size=4):
+            slice_size=4, route_budget=None):
     from placement_tpu.ops import fused_rollout
     use_fused = fused_rollout.supports(env_params)
     engine = "fused_pallas" if use_fused else "pooled_jax"
@@ -182,7 +206,7 @@ def measure(name, env_params, anchor, batch, inner=50, pool_size=None,
             value = _bench_fused(env_params, batch)
         else:
             value = _bench_pooled(env_params, batch, inner, pool_size,
-                                  slice_size)
+                                  slice_size, route_budget)
     except PhaseTimeout:
         _note(f"{name}: phase timed out")
         return None
@@ -245,10 +269,16 @@ def main():
             _note("budget exhausted; rerun to measure remaining rows")
             break
         env_params, anchor = table[name]
+        tune = POOLED_TUNING.get(name, {})
         _phase(_remaining() - 20)
         row = measure(name, env_params, anchor, args.batch,
-                      inner=args.inner, slice_size=args.slice_size)
+                      inner=tune.get("inner", args.inner),
+                      pool_size=tune.get("pool_size"),
+                      slice_size=tune.get("slice_size", args.slice_size),
+                      route_budget=tune.get("route_budget"))
         signal.alarm(0)
+        if row is not None and tune:
+            row["pooled_tuning"] = tune
         if row is not None:
             rows[name] = row
             payload = {
