@@ -16,6 +16,10 @@ import pathlib
 import socket
 import subprocess
 import sys
+import pytest
+
+# slow tier: 2-process jax.distributed spawns
+pytestmark = pytest.mark.slow
 
 REPO = str(pathlib.Path(__file__).resolve().parents[2])
 WORKER = str(pathlib.Path(__file__).with_name("_multihost_worker.py"))

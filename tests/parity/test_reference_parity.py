@@ -24,6 +24,9 @@ import pytest
 from placement_tpu.env import compat, core, testing
 from placement_tpu.env.types import EnvParams, Variant
 
+# slow tier: x64 recorded-trajectory replay (8 configs x 25 trajectories)
+pytestmark = pytest.mark.slow
+
 FIX = pathlib.Path(__file__).parent / "fixtures"
 N_SEEDS = 25
 

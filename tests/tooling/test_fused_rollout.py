@@ -24,6 +24,9 @@ from placement_tpu.env import core, pooled
 from placement_tpu.ops import fused_rollout
 from placement_tpu.utils.config import load_experiment
 
+# slow tier: Pallas TPU-interpreter runs
+pytestmark = pytest.mark.slow
+
 ENV_PARAMS, _, _ = load_experiment("rectangle_pin")
 
 

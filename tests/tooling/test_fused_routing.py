@@ -20,6 +20,9 @@ from placement_tpu.env import core, routing
 from placement_tpu.ops import fused_routing
 from placement_tpu.utils.config import load_experiment
 
+# slow tier: Pallas TPU-interpreter runs
+pytestmark = pytest.mark.slow
+
 FLAGSHIP, _, _ = load_experiment("rectangle_pin")
 # nets with 2..6 pins: exercises 2-pin direct centroid segments, variable
 # beam path lengths, and per-board freeze points

@@ -86,6 +86,9 @@ def main():
     p.add_argument("--type", default="rectangle_pin")
     p.add_argument("--num-envs", type=int, default=128)
     p.add_argument("--unroll-length", type=int, default=32)
+    p.add_argument("--components", action="store_true",
+                   help="also time the rollout's constituent pieces "
+                        "(observe / policy forward / env step) separately")
     args = p.parse_args()
 
     out_path = (OUT if args.type == "rectangle_pin"
@@ -138,6 +141,84 @@ def main():
     except PhaseTimeout:
         _note("rollout phase timed out")
     signal.alarm(0)
+
+    # -- rollout components (VERDICT r4 stretch item 7): what's inside the
+    # rollout+GAE phase — policy forward, observation building, env step.
+    # Each is measured as the same unroll_length-step scan with the other
+    # two pieces removed, over the same shapes the real rollout uses, so
+    # the three numbers decompose the phase (up to fusion overlap, which is
+    # why they need not sum exactly to rollout_gae_ms).
+    if args.components:
+        from placement_tpu.agent.random_policy import random_action
+        from placement_tpu.env import core, pooled
+
+        st = state0
+        obs0 = jax.vmap(lambda s: core.observe(env_params, s))(st.env_states)
+        pool = pooled.make_pool(env_params, jax.random.PRNGKey(5),
+                                base_cfg.unroll_length // 2 + 2,
+                                args.num_envs)
+
+        def obs_scan(carry):
+            states, acc = carry
+
+            def one(c, _):
+                ob = jax.vmap(lambda s: core.observe(env_params, s))(states)
+                tot = sum(jnp.sum(v) for v in jax.tree_util.tree_leaves(ob))
+                return c + tot.astype(jnp.float32), None
+
+            acc2, _ = jax.lax.scan(one, acc, None,
+                                   length=args.unroll_length)
+            return states, acc2
+
+        def fwd_scan(carry):
+            key, acc = carry
+
+            def one(c, k):
+                a, logp, v, _ = policy.act(st.variables, obs0, k)
+                return c + jnp.sum(v) + jnp.sum(logp), None
+
+            keys = jax.random.split(key, args.unroll_length)
+            acc2, _ = jax.lax.scan(one, acc, keys)
+            return jax.random.fold_in(key, 1), acc2
+
+        def env_scan(carry):
+            states, key, acc = carry
+            counts = jnp.zeros((args.num_envs,), jnp.int32)
+
+            def one(c, k):
+                states, counts, acc = c
+                actions = random_action(k, env_params, states.action_mask)
+                states, counts, reward, done, _ = (
+                    pooled.step_autoreset_pooled(
+                        env_params, states, actions, pool, counts))
+                return (states, counts, acc + jnp.sum(reward)), None
+
+            keys = jax.random.split(key, args.unroll_length)
+            (states, _, acc2), _ = jax.lax.scan(
+                one, (states, counts, acc), keys)
+            return states, jax.random.fold_in(key, 1), acc2
+
+        for name, fn, carry, fetch in (
+            ("obs_only", obs_scan, (st.env_states, jnp.zeros(())),
+             lambda c: c[1]),
+            ("policy_forward_only", fwd_scan,
+             (jax.random.PRNGKey(6), jnp.zeros(())), lambda c: c[1]),
+            ("env_step_only", env_scan,
+             (st.env_states, jax.random.PRNGKey(7), jnp.zeros(())),
+             lambda c: c[2]),
+        ):
+            if _remaining() < 60:
+                _note("budget exhausted before rollout components")
+                break
+            _note(f"component {name}")
+            _phase(min(_remaining() - 30, 120))
+            try:
+                ms, n = _time_fn(jax.jit(fn), carry, fetch)
+                rows[f"{name}_ms"] = round(ms, 2)
+                flush()
+            except PhaseTimeout:
+                _note(f"{name} timed out")
+            signal.alarm(0)
 
     # -- full step at 1 / 10 / 30 SGD epochs --------------------------------
     for epochs in (1, 10, 30):
