@@ -132,3 +132,18 @@ def test_exact_sampling_price_is_measured_and_modest():
             assert row[k] > 0, (name, k)
         # the quoted claim: exact sampling costs well under 2x
         assert row["rollout_slowdown_x"] < 2.0, (name, row)
+
+
+def test_rollout_component_breakdown_committed():
+    """Round-5 stretch: the rollout+GAE phase has a measured decomposition
+    (observe / policy forward / env step), and the docs' claim that the env
+    step dominates the rollout while SGD dominates the iteration holds."""
+    ph = _profile()["phases"]
+    for k in ("obs_only_ms", "policy_forward_only_ms", "env_step_only_ms"):
+        assert ph[k] > 0, k
+    assert ph["env_step_only_ms"] > ph["obs_only_ms"]
+    assert ph["env_step_only_ms"] > ph["policy_forward_only_ms"]
+    # components may overlap under fusion but must bracket the fused phase
+    total = (ph["obs_only_ms"] + ph["policy_forward_only_ms"]
+             + ph["env_step_only_ms"])
+    assert total > ph["rollout_gae_ms"] * 0.8, (total, ph["rollout_gae_ms"])
