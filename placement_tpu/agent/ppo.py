@@ -49,12 +49,23 @@ class PPOConfig:
     # Fresh-instance pool entries per board per rollout window (None =
     # derived from the env's minimum episode length; see env/pooled.py).
     reset_pool_size: Optional[int] = None
+    # Per-step finisher budget for gated terminal routing in the rollout
+    # (pin variants; None = eager routing every step for every board).
+    # Rewards match the eager path to one f32 ulp — see
+    # pooled.gated_terminal_rewards.
+    # Worth setting on big boards where the O(P^2) routing dominates the
+    # env step (docs/performance.md "Inside the rollout").
+    route_budget: Optional[int] = None
 
     def __post_init__(self) -> None:
         if self.reset_pool_size is not None and self.reset_pool_size < 1:
             raise ValueError(
                 f"reset_pool_size must be >= 1 (or None to derive it), "
                 f"got {self.reset_pool_size}")
+        if self.route_budget is not None and self.route_budget < 1:
+            raise ValueError(
+                f"route_budget must be >= 1 (or None for eager routing), "
+                f"got {self.route_budget}")
         for field in ("num_envs", "unroll_length", "minibatch_size",
                       "num_sgd_iter"):
             if getattr(self, field) < 1:
@@ -194,7 +205,8 @@ class PPOLearner:
                 state.variables, obs, k_act)
             next_states, counts, reward, done, info = (
                 pooled.step_autoreset_pooled(
-                    env_params, env_states, action, pool, counts))
+                    env_params, env_states, action, pool, counts,
+                    route_budget=self.cfg.route_budget))
             tr = Transition(obs=obs, action=action, logp=logp, value=value,
                             reward=reward, done=done,
                             dist_inputs=dist_inputs)

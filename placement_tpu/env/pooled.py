@@ -86,8 +86,12 @@ def gated_terminal_rewards(params: EnvParams, stepped: EnvState, done,
                                         exact same values as the eager path)
 
     Returns ``(reward, info_wl, info_int)`` f32[B], already masked to zero
-    on non-done boards — bit-identical per board to the eager path (the
-    routing math is the same pure function either way).
+    on non-done boards. Per board the routing math is the same pure
+    function either way; the crossing count (exact integer arithmetic) is
+    bit-identical, while the wirelength reduction can differ by one f32
+    ulp when XLA fuses the compacted-width vmap differently than the
+    full-batch one (observed 6e-8 on the CPU backend; locked within
+    rounding by tests/tooling/test_pooled.py).
     """
     b = done.shape[0]
     n_done = jnp.sum(done.astype(I32))
@@ -139,8 +143,8 @@ def step_autoreset_pooled(
     ``route_budget`` (static, pin variants only): compute the terminal
     routing reward just for boards that finished this step via
     ``gated_terminal_rewards`` instead of for every board every step. Value
-    = the per-step finisher budget (e.g. ``batch // 16``); identical
-    rewards/infos either way.
+    = the per-step finisher budget (e.g. ``batch // 16``); rewards/infos
+    match the eager path to one f32 ulp (see ``gated_terminal_rewards``).
     """
     if route_budget is not None and params.has_pins:
         stepped, _, done, aux = jax.vmap(

@@ -39,6 +39,41 @@ def test_train_step_runs():
     assert int(state2.steps) == 2 * learner.cfg.train_batch
 
 
+def test_route_budget_rollout_matches_eager():
+    """PPOConfig.route_budget (gated terminal routing inside the training
+    rollout, round 5) must be a pure throughput knob: identical
+    trajectories and dones to the eager path — same PRNG stream, same
+    pool, only the routing evaluation site differs. Rewards agree to one
+    ulp: the crossing count is exact integer arithmetic either way, but
+    the wirelength reduction may fuse differently at the compacted vmap
+    width, so the float comparison allows f32 rounding (observed: 6e-8
+    on 5/64 entries on the CPU backend)."""
+    pol = Policy(PIN, model_config_for(PIN, "rectangle_pin"))
+    eager = PPOLearner(PIN, pol, small_cfg())
+    gated = PPOLearner(PIN, pol, small_cfg(route_budget=4))
+    s0 = eager.init(jax.random.PRNGKey(1))
+
+    _, tr_e, lv_e, m_e = jax.jit(eager._rollout)(s0)
+    _, tr_g, lv_g, m_g = jax.jit(gated._rollout)(s0)
+    np.testing.assert_allclose(np.asarray(tr_e.reward),
+                               np.asarray(tr_g.reward),
+                               rtol=3e-7, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(tr_e.done),
+                                  np.asarray(tr_g.done))
+    np.testing.assert_array_equal(np.asarray(tr_e.action),
+                                  np.asarray(tr_g.action))
+    for k in m_e:
+        np.testing.assert_allclose(np.asarray(m_e[k]),
+                                   np.asarray(m_g[k]),
+                                   rtol=3e-7, atol=1e-6, err_msg=k)
+    np.testing.assert_array_equal(np.asarray(lv_e), np.asarray(lv_g))
+
+
+def test_route_budget_validation():
+    with pytest.raises(ValueError):
+        small_cfg(route_budget=0)
+
+
 def test_rollout_pool_never_wraps_on_shipped_configs():
     """The trainer rollout uses the pooled auto-reset (one generator call
     per window, env/pooled.py); the derived pool size must be deep enough

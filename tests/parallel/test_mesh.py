@@ -66,6 +66,7 @@ def test_env_batch_sharding_roundtrip():
     assert np.isfinite(np.asarray(reward)).all()
 
 
+@pytest.mark.slow
 def test_sharded_train_step_matches_unsharded():
     """The dp-sharded train step computes the same metrics as the
     single-device step from the same initial state (f32 reduction-order
@@ -96,6 +97,7 @@ def test_sharded_train_step_matches_unsharded():
     assert np.isfinite(float(metrics2["policy_loss"]))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entrypoint():
     """The driver's multichip dryrun must never regress silently."""
     sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[2]))
@@ -103,6 +105,7 @@ def test_dryrun_multichip_entrypoint():
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_trainer_with_mesh_and_profiler(tmp_path):
     """The Trainer's mesh + profiling wiring (experiments/ppo.py
     --data-parallel / --profile-dir): 2 iterations on the 8-device mesh
@@ -153,6 +156,7 @@ def _compiled_train_step(n_devices: int, num_envs: int):
     return compiled, state, mesh
 
 
+@pytest.mark.slow
 def test_weak_scaling_memory_and_collectives():
     """Same per-device board count at 1/2/4/8 devices: per-device temp
     memory must stay ~flat (each device holds only ITS boards' rollout
@@ -176,6 +180,7 @@ def test_weak_scaling_memory_and_collectives():
     assert temps[8] <= temps[1] * 2.0 + (1 << 20), temps
 
 
+@pytest.mark.slow
 def test_strong_scaling_rollout_not_replicated():
     """Fixed TOTAL batch, 1 vs 8 devices, rollout phase jitted alone (the
     piece VERDICT r3 flagged as silently-replicable — the SGD phase's
@@ -220,6 +225,7 @@ def test_strong_scaling_rollout_not_replicated():
         f"trajectory not sharded over boards: shards {shard_shapes}")
 
 
+@pytest.mark.slow
 def test_fused_rollout_shards_over_the_mesh():
     """The fused Pallas kernel composes across the dp mesh
     (parallel.shard_fused_rollout): each of the 8 devices steps its board

@@ -93,11 +93,14 @@ def test_rollout_chunk_throughput_semantics():
 
 
 def test_gated_routing_matches_eager():
-    """route_budget must not change a single value: rewards, dones, infos,
-    and states are identical to the eager path whether the step hits the
-    none-done branch (pre-terminal steps), the compacted branch (a lone
-    invalid-action finisher, n_done=1 <= budget) or the full-batch fallback
-    (all 8 boards finish in lockstep at step 5 > budget 2)."""
+    """route_budget is a pure throughput knob: dones, grids, and rewards
+    match the eager path whether the step hits the none-done branch
+    (pre-terminal steps), the compacted branch (a lone invalid-action
+    finisher, n_done=1 <= budget) or the full-batch fallback (all 8
+    boards finish in lockstep at step 5 > budget 2). Float comparisons
+    allow one-ulp f32 rounding: the crossing count is exact integer
+    arithmetic at any width, but the wirelength reduction may fuse
+    differently under the compacted vmap width."""
     batch = 8
     start = _reset_batch(jax.random.PRNGKey(10), batch)
     pool = pooled.make_pool(PARAMS, jax.random.PRNGKey(11), 6, batch)
@@ -120,15 +123,17 @@ def test_gated_routing_matches_eager():
             s_e, c_e, r_e, d_e, i_e = eager(s_e, actions, c_e)
             s_g, c_g, r_g, d_g, i_g = gated(s_g, actions, c_g)
             np.testing.assert_array_equal(np.asarray(d_e), np.asarray(d_g))
-            np.testing.assert_array_equal(np.asarray(r_e), np.asarray(r_g))
+            np.testing.assert_allclose(np.asarray(r_e), np.asarray(r_g),
+                                       rtol=3e-7, atol=1e-6)
             for k in ("wirelength", "num_intersections"):
-                np.testing.assert_array_equal(np.asarray(i_e[k]),
-                                              np.asarray(i_g[k]))
+                np.testing.assert_allclose(np.asarray(i_e[k]),
+                                           np.asarray(i_g[k]),
+                                           rtol=3e-7, atol=1e-6)
             np.testing.assert_array_equal(np.asarray(s_e.grid),
                                           np.asarray(s_g.grid))
-            np.testing.assert_array_equal(
+            np.testing.assert_allclose(
                 np.asarray(s_e.info_wirelength),
-                np.asarray(s_g.info_wirelength))
+                np.asarray(s_g.info_wirelength), rtol=3e-7, atol=1e-6)
             n_done = int(np.asarray(d_e).sum())
             saw_partial |= 0 < n_done <= budget
             saw_full |= n_done > budget
