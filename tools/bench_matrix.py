@@ -121,6 +121,16 @@ POOLED_TUNING = {
                            route_budget=256),
 }
 
+# Fused-kernel tuning (round 5, tools/bench_block_sweep.py on chip): the
+# reduced square/rect kernels gain from bigger Pallas blocks (square
+# 52.7M@128 -> 66.2M@256; rect 27.8M@128 -> 29.1M@512; blocks > 128 need
+# the raised scoped-VMEM limit). The pin kernel is a <±5% knob either way
+# (PERF_NOTES.md) and keeps the default 128.
+FUSED_TUNING = {
+    "square": dict(block=256, vmem_mb=64),
+    "rect": dict(block=512, vmem_mb=64),
+}
+
 
 def _dummy_states(env_params, batch):
     from placement_tpu.env import core
@@ -147,13 +157,14 @@ def _throughput(call, state, steps_per_call, batch, budget_frac=0.3):
     return batch * steps_per_call * n_calls / dt
 
 
-def _bench_fused(env_params, batch):
+def _bench_fused(env_params, batch, block=128, vmem_mb=None):
     from placement_tpu.ops import fused_rollout
     inner = 50
     leaves = fused_rollout.leaves_from_states(
         env_params, _dummy_states(env_params, batch))
     fn = jax.jit(fused_rollout.make_fused_rollout(
-        env_params, batch, inner, block=128))
+        env_params, batch, inner, block=block,
+        vmem_limit_bytes=vmem_mb * 2**20 if vmem_mb else None))
 
     def call(state, racc):
         leaves, counter = state
@@ -195,7 +206,7 @@ def _bench_pooled(env_params, batch, inner=50, pool_size=None,
 
 
 def measure(name, env_params, anchor, batch, inner=50, pool_size=None,
-            slice_size=4, route_budget=None):
+            slice_size=4, route_budget=None, block=128, vmem_mb=None):
     from placement_tpu.ops import fused_rollout
     use_fused = fused_rollout.supports(env_params)
     engine = "fused_pallas" if use_fused else "pooled_jax"
@@ -203,7 +214,7 @@ def measure(name, env_params, anchor, batch, inner=50, pool_size=None,
     t0 = time.monotonic()
     try:
         if use_fused:
-            value = _bench_fused(env_params, batch)
+            value = _bench_fused(env_params, batch, block, vmem_mb)
         else:
             value = _bench_pooled(env_params, batch, inner, pool_size,
                                   slice_size, route_budget)
@@ -270,15 +281,20 @@ def main():
             break
         env_params, anchor = table[name]
         tune = POOLED_TUNING.get(name, {})
+        ftune = FUSED_TUNING.get(name, {})
         _phase(_remaining() - 20)
         row = measure(name, env_params, anchor, args.batch,
                       inner=tune.get("inner", args.inner),
                       pool_size=tune.get("pool_size"),
                       slice_size=tune.get("slice_size", args.slice_size),
-                      route_budget=tune.get("route_budget"))
+                      route_budget=tune.get("route_budget"),
+                      block=ftune.get("block", 128),
+                      vmem_mb=ftune.get("vmem_mb"))
         signal.alarm(0)
         if row is not None and tune:
             row["pooled_tuning"] = tune
+        if row is not None and ftune:
+            row["fused_tuning"] = ftune
         if row is not None:
             rows[name] = row
             payload = {
