@@ -174,8 +174,13 @@ def bench_pooled(env_params, states):
     from placement_tpu.env import pooled
     inner = 50
     pool_size = inner // 5 + 2
+    # route_budget (round 5): flagship episodes are exactly 5 placements,
+    # so 4 of 5 steps have zero finishers and skip the terminal routing
+    # entirely (pooled.gated_terminal_rewards); the all-done step falls
+    # back to the full batch. Values match eager to one f32 ulp.
     chunk = jax.jit(pooled.rollout_chunk(env_params, random_action, inner,
-                                         pool_size))
+                                         pool_size,
+                                         route_budget=BATCH // 4))
 
     def call(state, racc):
         states, key = state
