@@ -121,14 +121,19 @@ POOLED_TUNING = {
                            route_budget=256),
 }
 
-# Fused-kernel tuning (round 5, tools/bench_block_sweep.py on chip): the
-# reduced square/rect kernels gain from bigger Pallas blocks (square
-# 52.7M@128 -> 66.2M@256; rect 27.8M@128 -> 29.1M@512; blocks > 128 need
-# the raised scoped-VMEM limit). The pin kernel is a <±5% knob either way
-# (PERF_NOTES.md) and keeps the default 128.
+# Fused-kernel tuning (round 5, tools/bench_block_sweep.py + matrix
+# re-measures on chip): the reduced square/rect kernels gain from bigger
+# Pallas blocks (square 52.7M@128 -> 66.2M@256; rect 27.8M@128 ->
+# 29.1M@512; blocks > 128 need the raised scoped-VMEM limit); the
+# centroid-reward pin kernels gain ~1.3% at 256. The beam/"both" kernels
+# REGRESS hard at 256 (beam 6.46M@128 -> 4.04M@256, both 5.25M -> 3.71M
+# — the beam rounds' lane-padded frontier work scales with block) and
+# keep 128.
 FUSED_TUNING = {
     "square": dict(block=256, vmem_mb=64),
     "rect": dict(block=512, vmem_mb=64),
+    "pin_centroid": dict(block=256, vmem_mb=64),
+    "spatial": dict(block=256, vmem_mb=64),
 }
 
 
