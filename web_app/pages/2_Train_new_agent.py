@@ -99,12 +99,23 @@ with st.sidebar:
     # experiments/results/rectangle_spatial_pin_seed_band_sgd10.png)
     num_sgd_iter = st.select_slider("SGD epochs per iteration",
                                     [1, 5, 10, 20, 30], 30)
+    # Gated terminal routing: on big boards the O(P^2) routing dominates
+    # the rollout's env step; gating computes it only for boards that
+    # finish each step (values match to one f32 ulp; the 30x30 web-max
+    # pooled measurement went 66.5k -> 258k steps/s with it —
+    # docs/performance.md). Default on for large grids.
+    gate_routing = st.checkbox(
+        "gated terminal routing (faster on big boards)",
+        value=("pin" in model_type and height * width > 300))
     seed = st.number_input("seed", value=0, step=1)
     go = st.button("Train", type="primary")
 
 if go:
+    route_budget = (max(int(num_envs) // 8, 16)
+                    if gate_routing and "pin" in model_type else None)
     cfg = PPOConfig(num_envs=int(num_envs), unroll_length=int(unroll),
-                    lr=float(lr), num_sgd_iter=int(num_sgd_iter))
+                    lr=float(lr), num_sgd_iter=int(num_sgd_iter),
+                    route_budget=route_budget)
     trainer = Trainer(model_type, ppo_config=cfg, env_overrides=env_over,
                       model_overrides=model_over)
     st.write(f"Run dir: `{trainer.run_dir}`")
