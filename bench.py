@@ -155,8 +155,12 @@ def bench_fused(env_params, states):
         return None
     inner = 50
     leaves = fused_rollout.leaves_from_states(env_params, states)
+    # block 256 + raised scoped-VMEM: measured +1.3-5% over 128 for the
+    # centroid-reward pin kernel (tools/bench_block_sweep.py + matrix
+    # re-measures, round 5); beam/both regress at 256 but bench.py's
+    # flagship config is centroid.
     fn = jax.jit(fused_rollout.make_fused_rollout(
-        env_params, BATCH, inner, block=128))
+        env_params, BATCH, inner, block=256, vmem_limit_bytes=64 * 2**20))
 
     def call(state, racc):
         leaves, counter = state
