@@ -10,9 +10,10 @@ throughput the baseline targets (>= 100k env-steps/s/chip).
 Two implementations, best-of reported:
   1. the single-kernel Pallas rollout (ops/fused_rollout.py — action
      sampling, placement, routing reward, and in-kernel instance
-     regeneration fused into ONE kernel; ~17.5M steps/s/chip), and
-  2. the pure-JAX pooled-auto-reset path (env/pooled.py; ~470k
-     steps/s/chip) as a fallback if the fused path fails fast.
+     regeneration fused into ONE kernel; ~17.8M steps/s/chip), and
+  2. the pure-JAX pooled-auto-reset path with gated terminal routing
+     (env/pooled.py; ~557k steps/s/chip) as a fallback if the fused
+     path fails fast.
 
 Timing is honest: every chunk's output feeds the next chunk's input and an
 accumulated-reward scalar is fetched to the host at the end, so asynchronous
