@@ -141,6 +141,32 @@ def test_gated_routing_matches_eager():
         assert saw_full or budget == batch
 
 
+def test_gated_routing_budget_extremes():
+    """budget=1 (compaction almost always falls back) and budget=batch
+    (never falls back) both reproduce the eager chunk totals; a non-pin
+    variant silently ignores route_budget."""
+    batch, chunk = 8, 12
+    states = _reset_batch(jax.random.PRNGKey(20), batch)
+    base = jax.jit(pooled.rollout_chunk(PARAMS, random_action, chunk,
+                                        pool_size=4))
+    _, _, r0, d0, _ = base(states, jax.random.PRNGKey(21))
+    for budget in (1, batch):
+        fn = jax.jit(pooled.rollout_chunk(PARAMS, random_action, chunk,
+                                          pool_size=4,
+                                          route_budget=budget))
+        _, _, r, d, _ = fn(states, jax.random.PRNGKey(21))
+        np.testing.assert_allclose(float(r), float(r0), rtol=1e-6)
+        assert int(d) == int(d0)
+
+    sq = EnvParams(variant=Variant.SQUARE).validate()
+    sq_states = jax.vmap(lambda k: core.reset(sq, k))(
+        jax.random.split(jax.random.PRNGKey(22), 4))
+    fn_sq = jax.jit(pooled.rollout_chunk(sq, random_action, 6,
+                                         pool_size=2, route_budget=2))
+    _, _, r_sq, _, _ = fn_sq(sq_states, jax.random.PRNGKey(23))
+    assert np.isfinite(float(r_sq))
+
+
 def test_rollout_chunk_wrap_counter_detects_reuse():
     """A pool smaller than chunk_len/episode_len forces index wrap-around;
     the chunk must report it (round-1 weak spot: silent instance replay)."""
