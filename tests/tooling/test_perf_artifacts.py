@@ -61,7 +61,7 @@ def test_out_of_envelope_row_is_measured_not_asserted():
     assert row["grid"] == [30, 30]
     # round 5: even the web app's out-of-envelope slider maximum clears the
     # 100k bar on the pooled path (gated terminal routing + right-sized
-    # pool — committed measurement 258k; see docs/performance.md and
+    # pool — committed measurement 351k; see docs/performance.md and
     # experiments/results/pooled_profile_web_max.json)
     assert row["steps_per_sec_per_chip"] >= BASELINE, row
 

@@ -116,9 +116,13 @@ def _configs():
 # boards per 204k board-steps — ~60% headroom over expected consumption,
 # wrap counter checked), and route_budget gates the O(P^2) routing to
 # boards that actually finish (pooled.gated_terminal_rewards).
+# batch=1024 for the big-board row: the 30x30 state working set at 4096
+# boards overruns on-chip locality (measured 351k @1024 / 337k @2048 /
+# 258k @4096 in one session); steps/s/chip is batch-agnostic so the row
+# records its best honest configuration, batch included.
 POOLED_TUNING = {
     "web_max_pooled": dict(inner=50, pool_size=2, slice_size=2,
-                           route_budget=256),
+                           route_budget=64, batch=1024),
 }
 
 # Fused-kernel tuning (round 5, tools/bench_block_sweep.py + matrix
@@ -288,7 +292,8 @@ def main():
         tune = POOLED_TUNING.get(name, {})
         ftune = FUSED_TUNING.get(name, {})
         _phase(_remaining() - 20)
-        row = measure(name, env_params, anchor, args.batch,
+        row = measure(name, env_params, anchor,
+                      tune.get("batch", args.batch),
                       inner=tune.get("inner", args.inner),
                       pool_size=tune.get("pool_size"),
                       slice_size=tune.get("slice_size", args.slice_size),

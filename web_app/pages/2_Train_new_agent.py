@@ -102,7 +102,7 @@ with st.sidebar:
     # Gated terminal routing: on big boards the O(P^2) routing dominates
     # the rollout's env step; gating computes it only for boards that
     # finish each step (values match to one f32 ulp; the 30x30 web-max
-    # pooled measurement went 66.5k -> 258k steps/s with it —
+    # pooled measurement went 66.5k -> 351k steps/s with it —
     # docs/performance.md). Default on for large grids.
     gate_routing = st.checkbox(
         "gated terminal routing (faster on big boards)",
