@@ -31,6 +31,14 @@ def main() -> None:
                    help="training iterations (reference default: 1)")
     p.add_argument("--num-envs", type=int, default=128)
     p.add_argument("--unroll-length", type=int, default=32)
+    p.add_argument("--num-sgd-iter", type=int, default=30,
+                   help="SGD epochs per iteration (RLlib-parity default "
+                        "30; 10 is the validated ~2x-faster preset, "
+                        "docs/performance.md)")
+    p.add_argument("--route-budget", type=int, default=None,
+                   help="gated terminal routing: per-step finisher budget "
+                        "(pin variants; speeds up rollouts on big boards, "
+                        "rewards match eager to one f32 ulp)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--restore", type=str, default=None,
                    help="run dir to restore the newest checkpoint from")
@@ -64,7 +72,9 @@ def main() -> None:
     cfg = PPOConfig(num_envs=args.num_envs,
                     unroll_length=args.unroll_length,
                     minibatch_size=min(128, args.num_envs
-                                       * args.unroll_length))
+                                       * args.unroll_length),
+                    num_sgd_iter=args.num_sgd_iter,
+                    route_budget=args.route_budget)
     extra = {}
     if args.results_root:
         extra["results_root"] = args.results_root
