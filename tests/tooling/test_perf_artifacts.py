@@ -147,3 +147,32 @@ def test_rollout_component_breakdown_committed():
     total = (ph["obs_only_ms"] + ph["policy_forward_only_ms"]
              + ph["env_step_only_ms"])
     assert total > ph["rollout_gae_ms"] * 0.8, (total, ph["rollout_gae_ms"])
+
+
+def test_matrix_tuning_records_match_the_tool():
+    """Rows committed with explicit tuning (pooled batch/budget, fused
+    block/vmem) must record exactly what tools/bench_matrix.py would use
+    today — otherwise a tool-side retune silently invalidates the
+    committed numbers."""
+    import importlib.util
+    import sys
+    tool = (pathlib.Path(__file__).resolve().parents[2] / "tools"
+            / "bench_matrix.py")
+    spec = importlib.util.spec_from_file_location("bench_matrix_mod", tool)
+    mod = importlib.util.module_from_spec(spec)
+    saved = sys.argv
+    sys.argv = ["bench_matrix"]
+    try:
+        spec.loader.exec_module(mod)
+    finally:
+        sys.argv = saved
+    rows = _matrix()["rows"]
+    assert set(mod.FUSED_TUNING) <= set(rows)
+    assert set(mod.POOLED_TUNING) <= set(rows)
+    for name, tune in mod.FUSED_TUNING.items():
+        assert rows[name].get("fused_tuning") == tune, name
+    for name, tune in mod.POOLED_TUNING.items():
+        rec = dict(rows[name].get("pooled_tuning", {}))
+        assert rec == tune, (name, rec, tune)
+        if "batch" in tune:
+            assert rows[name]["batch"] == tune["batch"], name
