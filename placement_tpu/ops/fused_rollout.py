@@ -197,7 +197,13 @@ class _Rng:
     real TPUs and under the Pallas interpreter on CPU (the interpreter's
     hardware-PRNG stub returns zeros) — the test-suite exercises exactly the
     kernel the benchmark runs.  `salt` is a traced u32 scalar mixing the
-    chunk seed, block id, and step index; the call counter is advanced at
+    chunk seed, block id, and step index; because the BLOCK id is in the
+    salt, the sampled streams are a function of (seed, block size): the
+    same seed at the same block size is bit-reproducible (what the
+    hardware goldens pin), while a different block size draws a
+    different, equally-valid sample stream (verified on chip: block
+    128 vs 256 runs agree on aggregate done-counts within sampling
+    noise but sample different episodes). The call counter is advanced at
     trace time, so every `uniform()` call site draws an independent stream.
     """
 
